@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship frame-feature query; ``queries()`` maps
+every implemented operator (SURVEY.md §2) to a (spark, sf_dir) callable;
+``oracle_sql()`` gives the DuckDB-equivalent SQL over the driver's
+pre-registered views (region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Column names are aliased identically on both sides; float outputs are
+either exact-arithmetic (integer sums + one division / libm-matched
+log10/sqrt — see operators/framing.py docstring) or the query is listed
+without an oracle (rows-only check).
 """
 
 from __future__ import annotations
@@ -12,27 +17,317 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from audio_feature_extraction_spark.core.config import FrameSpec
+from audio_feature_extraction_spark.operators import (
+    asof,
+    framing,
+    inverse,
+    mixer,
+    preprocess,
+    sessionize,
+    split,
+    temporal,
+)
+from audio_feature_extraction_spark.sources.tokens import (
+    load_token_sequences,
+    token_sequences_duckdb_cte,
+)
+
+SPEC = FrameSpec(frame_len=16, hop=8)
+
+_STAT_FIELDS = ("mean", "std", "min", "max", "distinct_ratio")
+
+# probe/state partition of the events table used by the PIT queries
+_PROBE_FILTER = "event_type = 'view'"
+_STATE_FILTER = "event_type IN ('click', 'purchase')"
+
+
+def _tok_cte() -> str:
+    return f"WITH tokseq AS ({token_sequences_duckdb_cte('')})"
+
+
+def _frames_cte() -> str:
+    return (
+        f"{_tok_cte()}, frames AS ({framing.frames_oracle_sql(SPEC, 'tokseq')})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+def q_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_token_sequences(spark, sf_dir)
+
+
+def q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return framing.frame_table(load_token_sequences(spark, sf_dir), SPEC)
+
+
+def _flatten_stats(df: DataFrame) -> DataFrame:
+    cols = ["doc_id", "frame_id", "frame_tokens", "features"] + [
+        F.col(f"stats.{f}").alias(f"stat_{f}") for f in _STAT_FIELDS
+    ]
+    return df.select(*cols)
+
+
+def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-kernel path (the engine hot path) checked against DuckDB."""
+    ts = load_token_sequences(spark, sf_dir)
+    return _flatten_stats(framing.frame_features(ts, SPEC))
+
+
+def q_frame_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst formulation of the same features (no Python)."""
+    ts = load_token_sequences(spark, sf_dir)
+    return _flatten_stats(framing.frame_features_sql(ts, SPEC))
+
+
+def q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = load_token_sequences(spark, sf_dir)
+    frames = framing.frame_table(ts, SPEC)
+    return inverse.roundtrip_check(ts, frames, SPEC)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ev.where(F.expr(_PROBE_FILTER))
+    states = ev.where(F.expr(_STATE_FILTER))
+    return asof.asof_join(probes, states).select(
+        "user_id", "event_id", "ts", "asof_value", "asof_ts"
+    )
+
+
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    masked = ev.withColumn(
+        "value", F.when(F.expr(_PROBE_FILTER), None).otherwise(F.col("value"))
+    )
+    return temporal.backfill(masked).select(
+        "event_id", "user_id", "ts", "event_type", "filled"
+    )
+
+
+def q_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.with_deltas(ev).select(
+        "event_id", "user_id", "ts", "value", "delta", "delta2"
+    )
+
+
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact arithmetic: trailing stats over integer cents
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum("cents").over(w) / (100.0 * F.count("cents").over(w))).alias("roll_avg"),
+        (F.max("cents").over(w) / 100.0).alias("roll_max"),
+        F.count("cents").over(w).alias("roll_n"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize.sessionize(ev, gap_seconds=1800.0).select(
+        "event_id", "user_id", "ts", "session_id"
+    )
+
+
+def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize.session_summary(ev, gap_seconds=1800.0)
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        split.assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+def q_adjust_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = load_token_sequences(spark, sf_dir)
+    return ts.select(
+        "doc_id",
+        F.col("n_tok").alias("original_length"),
+        F.expr(preprocess.adjust_length_expr(64, "constant", 0, spark=True)).alias(
+            "adj_constant"
+        ),
+        F.expr(preprocess.adjust_length_expr(64, "reflect", 0, spark=True)).alias(
+            "adj_reflect"
+        ),
+        F.expr(preprocess.adjust_length_expr(64, "replicate", 0, spark=True)).alias(
+            "adj_replicate"
+        ),
+    )
+
+
+def q_trim_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = load_token_sequences(spark, sf_dir)
+    return ts.select(
+        "doc_id",
+        F.expr(preprocess.trim_expr(8192, spark=True)).alias("trimmed"),
+        F.expr(preprocess.normalize_expr(spark=True)).alias("normalized"),
+    )
+
+
+def q_mix_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = load_token_sequences(spark, sf_dir)
+    # deterministic clean/noise partition by numeric id parity
+    num = F.regexp_replace("doc_id", "[^0-9]", "").cast("bigint")
+    clean = ts.where(num % 2 == 0)
+    noise = ts.where(num % 2 == 1)
+    paired = mixer.pair_clean_noise(clean, noise)
+    return mixer.mix_with_snr(paired, snr_db=10.0).select(
+        "doc_id", "noise_doc_id", "rms_clean", "rms_noise", "gain", "mixed"
+    )
+
+
+def q_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = load_token_sequences(spark, sf_dir)
+    return ts.select(
+        "doc_id", F.expr(mixer.rms_expr("tokens", spark=True)).alias("rms")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frame/hop feature grid over sf0.001 (SURVEY §7.1 step 2)."""
+    return q_frame_features(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "token_sequences": q_token_sequences,
+        "frames": q_frames,
+        "frame_features": q_frame_features,
+        "frame_features_sql": q_frame_features_sql,
+        "roundtrip": q_roundtrip,
+        "asof_join": q_asof_join,
+        "backfill": q_backfill,
+        "deltas": q_deltas,
+        "rolling": q_rolling,
+        "sessionize": q_sessionize,
+        "session_summary": q_session_summary,
+        "split_counts": q_split_counts,
+        "adjust_length": q_adjust_length,
+        "trim_normalize": q_trim_normalize,
+        "mix_snr": q_mix_snr,
+        "rms": q_rms,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    st = framing.stats_sql_fields("frame_tokens", spark=False)
+    stat_cols = ", ".join(f"{v} AS stat_{k}" for k, v in st.items())
+    counts = framing._counts_sql(SPEC, "frame_tokens", spark=False)
+    feat = framing._db_sql(SPEC, counts, spark=False)
+    frame_feat_sql = (
+        f"{_frames_cte()} SELECT doc_id, frame_id, frame_tokens, "
+        f"{feat} AS features, {stat_cols} FROM frames"
+    )
+    roundtrip_sql = (
+        f"{_frames_cte()}, rec AS ({inverse.reconstruct_oracle_sql(SPEC, 'frames')}) "
+        f"SELECT t.doc_id AS doc_id, (t.tokens = r.tokens) AS ok "
+        f"FROM tokseq t LEFT JOIN rec r USING (doc_id) WHERE t.n_tok > 0"
+    )
+    rolling_sql = (
+        "SELECT event_id, user_id, ts, "
+        "sum(cents) OVER w / (100.0 * count(cents) OVER w) AS roll_avg, "
+        "max(cents) OVER w / 100.0 AS roll_max, "
+        "count(cents) OVER w AS roll_n "
+        "FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+    )
+    backfill_sql = (
+        "SELECT event_id, user_id, ts, event_type, "
+        "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS filled FROM (SELECT * REPLACE ("
+        f"CASE WHEN {_PROBE_FILTER} THEN NULL ELSE value END AS value) FROM events)"
+    )
+    adjust_sql = (
+        f"{_tok_cte()} SELECT doc_id, n_tok AS original_length, "
+        f"{preprocess.adjust_length_expr(64, 'constant', 0, spark=False)} AS adj_constant, "
+        f"{preprocess.adjust_length_expr(64, 'reflect', 0, spark=False)} AS adj_reflect, "
+        f"{preprocess.adjust_length_expr(64, 'replicate', 0, spark=False)} AS adj_replicate "
+        f"FROM tokseq"
+    )
+    trim_sql = (
+        f"{_tok_cte()} SELECT doc_id, "
+        f"{preprocess.trim_expr(8192, spark=False)} AS trimmed, "
+        f"{preprocess.normalize_expr(spark=False)} AS normalized FROM tokseq"
+    )
+    num_id = "CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
+    rms_c = mixer.rms_expr("c.tokens", spark=False)
+    noise_adj = "(" + mixer._adjust_noise_expr("c.tokens", "i.noise_tokens", spark=False) + ")"
+    rms_n = mixer.rms_expr(noise_adj, spark=False)
+    mix_sql = (
+        f"{_tok_cte()}, idx AS ("
+        f"  SELECT doc_id AS noise_doc_id, tokens AS noise_tokens,"
+        f"         row_number() OVER (ORDER BY doc_id) - 1 AS noise_idx"
+        f"  FROM tokseq WHERE {num_id} % 2 = 1"
+        f"), clean AS ("
+        f"  SELECT *, {num_id} AS num_id FROM tokseq WHERE {num_id} % 2 = 0"
+        f"), n AS (SELECT count(*) AS cnt FROM idx) "
+        f"SELECT c.doc_id AS doc_id, i.noise_doc_id AS noise_doc_id, "
+        f"{rms_c} AS rms_clean, "
+        f"{rms_n} AS rms_noise, "
+        f"({rms_c} / ({rms_n} * pow(10.0, 10.0 / 20.0))) AS gain, "
+        f"{mixer.mix_expr('c.tokens', 'i.noise_tokens', 10.0, spark=False)} AS mixed "
+        f"FROM clean c CROSS JOIN n JOIN idx i "
+        f"ON i.noise_idx = (c.num_id * {mixer.PAIR_MULT} + {mixer.PAIR_OFF}) % n.cnt"
+    )
+    return {
+        "token_sequences": f"{_tok_cte()} SELECT * FROM tokseq",
+        "frames": f"{_tok_cte()} {framing.frames_oracle_sql(SPEC, 'tokseq')}",
+        "frame_features": frame_feat_sql,
+        "frame_features_sql": frame_feat_sql,
+        "roundtrip": roundtrip_sql,
+        "asof_join": asof.asof_oracle_sql(_PROBE_FILTER, _STATE_FILTER),
+        "backfill": backfill_sql,
+        "deltas": (
+            "SELECT event_id, user_id, ts, value, delta, "
+            "delta - lag(delta, 1) OVER w AS delta2 FROM ("
+            "SELECT *, value - lag(value, 1) OVER w AS delta FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "rolling": rolling_sql,
+        "sessionize": (
+            f"SELECT event_id, user_id, ts, session_id FROM "
+            f"({sessionize.sessionize_oracle_sql(1800.0)})"
+        ),
+        "session_summary": sessionize.session_summary_oracle_sql(1800.0),
+        "split_counts": split.split_oracle_sql("documents", "doc_id"),
+        "adjust_length": adjust_sql,
+        "trim_normalize": trim_sql,
+        "mix_snr": mix_sql,
+        "rms": (
+            f"{_tok_cte()} SELECT doc_id, "
+            f"{mixer.rms_expr('tokens', spark=False)} AS rms FROM tokseq"
+        ),
+    }

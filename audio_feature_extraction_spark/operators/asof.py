@@ -1,0 +1,119 @@
+"""As-of (point-in-time) join — the engine centerpiece (north star J5).
+
+≙ the reference's causal streaming contract: a frame may be computed only
+from chunks already received (``extract_streaming`` design.md:594-609;
+StreamBuffer design.md:1848-1953). Batch reformulation: each probe row
+``(entity, as_of_ts)`` is joined to the *latest* state row with
+``state.ts <= as_of_ts`` — never later (zero temporal leakage).
+
+Implementation — union + sort-merge carry-forward, the scalable shape:
+
+1. tag state rows 0, probe rows 1, ``unionByName``
+2. one hash exchange on ``entity``; within each partition sort by
+   ``(ts, tag, seq)`` — a state row at ``ts == as_of`` sorts *before* the
+   probe (inclusive semantics); among equal-ts states the highest ``seq``
+   (event_id) wins, making ties deterministic
+3. ``last(state_value, ignorenulls)`` carried forward, then keep probes
+
+This is a single-shuffle sort-merge: cost O(n log n) per partition, no
+row explosion — versus the naive ``probe JOIN state ON ts <= as_of`` +
+argmax which is a range cross-product. At cluster scale the exchange is a
+``repartitionByRange``-style ordered partitioning on the entity/ts axis;
+for heavy-hitter entities see operators/skew.py (salted two-pass variant).
+
+Oracle: DuckDB's native ``ASOF JOIN`` (states pre-deduped per (entity, ts)
+with max-seq in both engines so tie-breaks agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    states: DataFrame,
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Point-in-time join: probes gain ``asof_value`` / ``asof_ts`` from the
+    latest state at-or-before (``strict=False``) or strictly-before their
+    timestamp. Probes with no prior state keep nulls.
+    """
+    # dedupe states to one row per (entity, ts): keep max seq — must match
+    # the oracle's tie-break exactly
+    wded = Window.partitionBy(entity, ts_col).orderBy(F.col(seq_col).desc())
+    st = (
+        states.select(entity, ts_col, value_col, seq_col)
+        .withColumn("_rn", F.row_number().over(wded))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # tag ordering encodes the boundary: inclusive -> state(0) before
+    # probe(1) at equal ts; strict -> probe first so it cannot see it
+    state_tag, probe_tag = (0, 1) if not strict else (1, 0)
+    st_tagged = st.select(
+        F.col(entity),
+        F.col(ts_col),
+        F.lit(state_tag).alias("_tag"),
+        F.col(seq_col).alias("_seq"),
+        F.col(value_col).alias("_sv"),
+        F.col(ts_col).alias("_sts"),
+        F.lit(None).cast("long").alias("_probe_seq"),
+    )
+    pr_tagged = probes.select(
+        F.col(entity),
+        F.col(ts_col),
+        F.lit(probe_tag).alias("_tag"),
+        F.col(seq_col).alias("_seq"),
+        F.lit(None).cast(st.schema[value_col].dataType).alias("_sv"),
+        F.lit(None).cast("timestamp").alias("_sts"),
+        F.col(seq_col).alias("_probe_seq"),
+    )
+    unioned = st_tagged.unionByName(pr_tagged)
+
+    order = [ts_col, "_tag", "_seq"] if not strict else [ts_col, "_tag", "_seq"]
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "asof_value", F.last("_sv", ignorenulls=True).over(w)
+    ).withColumn("asof_ts", F.last("_sts", ignorenulls=True).over(w))
+
+    is_probe = F.col("_probe_seq").isNotNull()
+    out = carried.where(is_probe).select(
+        F.col(entity),
+        F.col("_probe_seq").alias(seq_col),
+        F.col(ts_col),
+        "asof_value",
+        "asof_ts",
+    )
+    return probes.drop(value_col).join(out, [entity, seq_col, ts_col], "inner")
+
+
+def asof_oracle_sql(
+    probe_filter: str,
+    state_filter: str,
+    entity: str = "user_id",
+    from_clause: str = "events",
+) -> str:
+    """DuckDB native ASOF JOIN with matching dedupe + tie-break."""
+    return (
+        f"WITH st AS ("
+        f"  SELECT {entity}, ts, value, event_id,"
+        f"         row_number() OVER (PARTITION BY {entity}, ts ORDER BY event_id DESC) rn"
+        f"  FROM {from_clause} WHERE {state_filter}"
+        f"), std AS (SELECT {entity}, ts, value FROM st WHERE rn = 1), "
+        f"pr AS (SELECT {entity}, event_id, ts FROM {from_clause} WHERE {probe_filter}) "
+        f"SELECT pr.{entity} AS {entity}, pr.event_id AS event_id, pr.ts AS ts, "
+        f"std.value AS asof_value, std.ts AS asof_ts "
+        f"FROM pr ASOF LEFT JOIN std "
+        f"ON pr.{entity} = std.{entity} AND pr.ts >= std.ts"
+    )

@@ -1,0 +1,291 @@
+"""Frame/hop grid + per-frame feature vectors (the engine's flagship).
+
+≙ reference STFT framing (design.md:522-592): frame ``f`` covers samples
+``[f*hop, f*hop + n_fft)``; per-frame vectors of ``n_fft//2+1`` bins
+(design.md:184-189); dB scaling ``20*log10(clamp(mag, amin))`` floored at
+``max - top_db`` (design.md:615-623 defaults amin=1e-10, top_db=80).
+
+Token reinterpretation: the "spectrum" of a frame is the hashed-bigram
+histogram of width ``n_buckets = frame_len//2 + 1``; the "magnitude/phase"
+channels are per-frame token stats (mean/std/min/max/distinct_ratio).
+
+Two implementations with *bit-identical* output (tested):
+
+* ``frame_features`` — the scale path: one vectorized Arrow kernel per
+  partition (``mapInPandas``), numpy prefix-sum histograms + stride-tricks.
+  This is the UDTF shape (1 row in → n_frames rows out, SURVEY §2.10 X3).
+  Narrow — no shuffle; parallelism = input splits.
+* ``frame_features_sql`` / ``*_oracle_sql`` — pure-SQL formulations
+  (Spark SQL and DuckDB) used as independent correctness oracles.
+
+Float determinism: dB values are produced from a ``math.log10`` lookup
+table over the (small-integer) counts, because glibc libm (Spark JVM ==
+DuckDB == CPython math) differs from numpy's SIMD log10 by 1 ulp. Stats
+are accumulated in exact int64 then divided once, so all engines agree
+bitwise.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.core.config import DEFAULT_FRAME, FrameSpec
+from audio_feature_extraction_spark.core.schemas import FRAME_FEATURES, FRAMES
+
+
+# ---------------------------------------------------------------------------
+# pure-SQL frame grid (Catalyst path — no Python at all)
+# ---------------------------------------------------------------------------
+
+def frames_sql_fragment(spec: FrameSpec = DEFAULT_FRAME) -> str:
+    """Spark-SQL generator expression: token row -> n_frames frame rows."""
+    h, l = spec.hop, spec.frame_len
+    return (
+        f"inline(transform(sequence(0, (n_tok-1) div {h}), "
+        f"f -> struct(cast(f as int) as frame_id, "
+        f"slice(tokens, f*{h}+1, {l}) as frame_tokens)))"
+    )
+
+
+def frame_table(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    """Long-format frame table via pure DataFrame ops (no UDF).
+
+    `.explain` shows Generate(inline) over a single project — narrow, no
+    shuffle, whole-stage codegen end-to-end.
+    """
+    return df.where(F.col("n_tok") > 0).select(
+        "doc_id", F.expr(frames_sql_fragment(spec))
+    )
+
+
+def frames_oracle_sql(spec: FrameSpec = DEFAULT_FRAME, from_clause: str = "tokseq") -> str:
+    """DuckDB SQL producing the identical frame table (lateral unnest)."""
+    h, l = spec.hop, spec.frame_len
+    return (
+        f"SELECT t.doc_id, CAST(g.f AS INTEGER) AS frame_id, "
+        f"t.tokens[g.f*{h}+1 : g.f*{h}+{l}] AS frame_tokens "
+        f"FROM {from_clause} t, unnest(range(0, ((t.n_tok-1) // {h}) + 1)) AS g(f) "
+        f"WHERE t.n_tok > 0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# vectorized Arrow kernel (the scale path)
+# ---------------------------------------------------------------------------
+
+def _db_table(spec: FrameSpec, max_count: int) -> np.ndarray:
+    """Lookup table count -> dB using libm log10 (cross-engine exact)."""
+    return np.array(
+        [20.0 * math.log10(max(c, spec.amin)) for c in range(max_count + 1)],
+        dtype=np.float64,
+    )
+
+
+def featurize_tokens(tokens: np.ndarray, spec: FrameSpec) -> tuple:
+    """Vectorized per-document kernel.
+
+    Returns (frame_ids, frame_token_slices, features_db, stats_tuple) for
+    one document. O(n_tok * n_buckets) via prefix-sum histograms — no
+    per-frame Python loop on the hot path.
+    """
+    n = len(tokens)
+    h, l, nb = spec.hop, spec.frame_len, spec.n_buckets
+    n_frames = (n - 1) // h + 1
+    t = tokens.astype(np.int64)
+    starts = np.arange(n_frames, dtype=np.int64) * h
+    ends = np.minimum(starts + l, n)  # frame f covers [start, end)
+
+    # --- bigram-bucket histogram per frame via prefix sums -----------------
+    # bigram i joins positions (i, i+1); frame covers bigrams [start, end-1)
+    counts = np.zeros((n_frames, nb), dtype=np.int64)
+    if n >= 2:
+        bh = ((t[:-1] * spec.bigram_mult + t[1:]) % nb).astype(np.int64)
+        onehot = np.zeros((n - 1, nb), dtype=np.int64)
+        onehot[np.arange(n - 1), bh] = 1
+        csum = np.concatenate(
+            [np.zeros((1, nb), dtype=np.int64), np.cumsum(onehot, axis=0)]
+        )  # csum[i] = histogram of bigrams [0, i)
+        b_lo = starts
+        b_hi = np.maximum(ends - 1, starts)  # bigrams in [start, end-1)
+        counts = csum[b_hi] - csum[b_lo]
+
+    # --- dB scale via libm lookup table ------------------------------------
+    dbt = _db_table(spec, int(counts.max(initial=0)))
+    db = dbt[counts]
+    floor = dbt[counts.max(axis=1)] - spec.top_db
+    db = np.maximum(db, floor[:, None])
+
+    # --- per-frame token stats via exact integer prefix sums ---------------
+    cs1 = np.concatenate([[0], np.cumsum(t)])
+    cs2 = np.concatenate([[0], np.cumsum(t * t)])
+    lens = (ends - starts).astype(np.float64)
+    s1 = (cs1[ends] - cs1[starts]).astype(np.float64)
+    s2 = (cs2[ends] - cs2[starts]).astype(np.float64)
+    mean = s1 / lens
+    var = s2 / lens - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+
+    # min / max / distinct: full frames vectorized via stride tricks,
+    # ragged tail frames (at most ceil(l/h) of them) individually
+    mn = np.empty(n_frames, dtype=np.int64)
+    mx = np.empty(n_frames, dtype=np.int64)
+    nd = np.empty(n_frames, dtype=np.int64)
+    full = ends - starts == l
+    if full.any() and n >= l:
+        w = np.lib.stride_tricks.sliding_window_view(t, l)[starts[full]]
+        mn[full] = w.min(axis=1)
+        mx[full] = w.max(axis=1)
+        sw = np.sort(w, axis=1)
+        nd[full] = (np.diff(sw, axis=1) != 0).sum(axis=1) + 1
+    for f in np.nonzero(~full)[0]:
+        seg = t[starts[f] : ends[f]]
+        mn[f] = seg.min()
+        mx[f] = seg.max()
+        nd[f] = len(np.unique(seg))
+    distinct_ratio = nd / lens
+
+    frame_tokens = [t[s:e].astype(np.int32) for s, e in zip(starts, ends)]
+    return (
+        np.arange(n_frames, dtype=np.int32),
+        frame_tokens,
+        db,
+        (mean, std, mn, mx, distinct_ratio),
+    )
+
+
+def frame_features(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    """Frame-grid feature extraction over the token table (Arrow UDF path).
+
+    ≙ SpectrogramExtractor.extract batched on GPU (design.md:557-592,
+    2255-2256) — here the "batch kernel" is numpy over Arrow record
+    batches. One narrow mapInPandas stage: no shuffle, scales with input
+    splits; at 100 TB this is embarrassingly parallel.
+    """
+    l, h = spec.frame_len, spec.hop  # close over plain ints, not the spec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kspec = FrameSpec(frame_len=l, hop=h)
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_id": [], "frame_tokens": [],
+                "features": [], "stats": [],
+            }
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                arr = np.asarray(toks, dtype=np.int64)
+                if len(arr) == 0:
+                    continue
+                fids, ftoks, db, (mean, std, mn, mx, dr) = featurize_tokens(arr, kspec)
+                k = len(fids)
+                out["doc_id"].extend([doc_id] * k)
+                out["frame_id"].extend(fids.tolist())
+                out["frame_tokens"].extend(ftoks)
+                out["features"].extend(list(db))
+                out["stats"].extend(
+                    {
+                        "mean": float(mean[i]), "std": float(std[i]),
+                        "min": int(mn[i]), "max": int(mx[i]),
+                        "distinct_ratio": float(dr[i]),
+                    }
+                    for i in range(k)
+                )
+            if out["doc_id"]:  # empty batches break Arrow list inference
+                yield pd.DataFrame(out)
+
+    return df.select("doc_id", "tokens").mapInPandas(run, schema=FRAME_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# SQL formulations of the same features (independent oracles)
+# ---------------------------------------------------------------------------
+
+def _counts_sql(spec: FrameSpec, ft: str, spark: bool) -> str:
+    """Bigram-bucket count vector, Spark-SQL or DuckDB dialect."""
+    nb, m = spec.n_buckets, spec.bigram_mult
+    if spark:
+        return (
+            f"transform(sequence(0, {nb - 1}), b -> bigint(size(filter("
+            f"sequence(1, size({ft})), "
+            f"i -> i < size({ft}) and (element_at({ft}, cast(i as int))*{m} "
+            f"+ element_at({ft}, cast(i+1 as int))) % {nb} = b))))"
+        )
+    return (
+        f"list_transform(range(0, {nb}), b -> CAST(len(list_filter("
+        f"range(1, len({ft})), "
+        f"i -> ({ft}[i]*{m} + {ft}[i+1]) % {nb} = b)) AS BIGINT))"
+    )
+
+
+def _db_sql(spec: FrameSpec, counts: str, spark: bool) -> str:
+    """dB-scale a count vector: 20*log10(clamp) floored at max - top_db."""
+    amin, td = spec.amin, spec.top_db
+    mx = f"array_max({counts})" if spark else f"list_max({counts})"
+    fn = "transform" if spark else "list_transform"
+    return (
+        f"{fn}({counts}, c -> greatest(20*log10(greatest(c, {amin})), "
+        f"20*log10(greatest({mx}, {amin})) - {td}))"
+    )
+
+
+def stats_sql_fields(ft: str, spark: bool) -> dict[str, str]:
+    """Per-frame stats as exact-arithmetic SQL (int sums, one division)."""
+    if spark:
+        s1 = f"aggregate({ft}, 0L, (a, x) -> a + x)"
+        s2 = f"aggregate({ft}, 0L, (a, x) -> a + bigint(x)*x)"
+        n = f"size({ft})"
+        nd = f"size(array_distinct({ft}))"
+        mn, mx = f"array_min({ft})", f"array_max({ft})"
+    else:
+        s1 = f"list_sum(list_transform({ft}, x -> CAST(x AS BIGINT)))"
+        s2 = f"list_sum(list_transform({ft}, x -> CAST(x AS BIGINT)*x))"
+        n = f"len({ft})"
+        nd = f"len(list_distinct({ft}))"
+        mn, mx = f"list_min({ft})", f"list_max({ft})"
+    mean = f"(CAST({s1} AS DOUBLE) / {n})"
+    var = f"(CAST({s2} AS DOUBLE) / {n} - {mean} * {mean})"
+    return {
+        "mean": mean,
+        "std": f"sqrt(greatest({var}, 0.0))",
+        "min": f"CAST({mn} AS INTEGER)",
+        "max": f"CAST({mx} AS INTEGER)",
+        "distinct_ratio": f"(CAST({nd} AS DOUBLE) / {n})",
+    }
+
+
+def frame_features_sql(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    """Pure-Spark-SQL formulation (no Python) — oracle twin of
+    ``frame_features``; also the fallback path if Arrow is unavailable."""
+    ft = "frame_tokens"
+    counts = _counts_sql(spec, ft, spark=True)
+    st = stats_sql_fields(ft, spark=True)
+    stats = ", ".join(f"{v} as {k}" for k, v in st.items())
+    return frame_table(df, spec).selectExpr(
+        "doc_id",
+        "frame_id",
+        "frame_tokens",
+        f"{_db_sql(spec, counts, spark=True)} as features",
+        f"struct({stats}) as stats",
+    )
+
+
+def frame_features_oracle_sql(
+    spec: FrameSpec = DEFAULT_FRAME, frames_from: str = "frames"
+) -> str:
+    """DuckDB SELECT over a ``frames`` CTE producing identical features."""
+    ft = "frame_tokens"
+    counts = _counts_sql(spec, ft, spark=False)
+    st = stats_sql_fields(ft, spark=False)
+    stats = ", ".join(f"{v} AS {k}" for k, v in st.items())
+    return (
+        f"SELECT doc_id, frame_id, frame_tokens, "
+        f"{_db_sql(spec, counts, spark=False)} AS features, "
+        f"struct_pack(mean := {st['mean']}, std := {st['std']}, "
+        f"min := {st['min']}, max := {st['max']}, "
+        f"distinct_ratio := {st['distinct_ratio']}) AS stats "
+        f"FROM {frames_from}"
+    )

@@ -1,0 +1,87 @@
+"""Exact inverse framing — reconstruct token arrays from the frame table.
+
+≙ ISTFT overlap-add reconstruction (design.md:630-744; StreamBuffer
+``update_overlap`` design.md:1959-1982, which emits ``hop`` samples per
+step).  In the integer-token domain the overlap-add weighting degenerates
+to take-first-occurrence per position (SURVEY §7.3), so frame ``f > 0``
+contributes exactly its last ``hop`` tokens (the non-overlapping tail) and
+frame 0 contributes everything — the same "emit hop per step" recurrence,
+made exact.
+
+The round-trip invariant is *exact token-array equality* (input_hint; the
+reference's analog is SNR > 30 dB, requirements.md:183 SC-13).
+
+Scale notes: one shuffle (groupBy doc_id); contributions are pre-sliced so
+shuffle volume ≈ original token volume (each position shipped once), not
+frame_len/hop × amplified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.core.config import DEFAULT_FRAME, FrameSpec
+
+
+def _contrib_expr(spec: FrameSpec, spark: bool) -> str:
+    """New (non-overlapped) positions contributed by each frame."""
+    l, h = spec.frame_len, spec.hop
+    if spark:
+        return (
+            f"case when frame_id = 0 then frame_tokens "
+            f"else slice(frame_tokens, {l - h} + 1, {h}) end"
+        )
+    return (
+        f"CASE WHEN frame_id = 0 THEN frame_tokens "
+        f"ELSE frame_tokens[{l - h} + 1 : {l}] END"
+    )
+
+
+def reconstruct(frames: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    """Frame table -> (doc_id, tokens) with exact original arrays.
+
+    Single shuffle: contributions are computed narrow, then one
+    groupBy(doc_id) assembles ordered segments.
+    """
+    contrib = _contrib_expr(spec, spark=True)
+    return (
+        frames.selectExpr("doc_id", "frame_id", f"{contrib} as contrib")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "flatten(transform(sort_array(collect_list(struct(frame_id, contrib))),"
+                " s -> s.contrib))"
+            ).alias("tokens")
+        )
+    )
+
+
+def reconstruct_oracle_sql(
+    spec: FrameSpec = DEFAULT_FRAME, frames_from: str = "frames"
+) -> str:
+    """DuckDB SQL computing the identical reconstruction."""
+    contrib = _contrib_expr(spec, spark=False)
+    return (
+        f"SELECT doc_id, flatten(array_agg(({contrib}) ORDER BY frame_id)) AS tokens "
+        f"FROM {frames_from} GROUP BY doc_id"
+    )
+
+
+def roundtrip_check(
+    token_df: DataFrame, frames: DataFrame, spec: FrameSpec = DEFAULT_FRAME
+) -> DataFrame:
+    """(doc_id, ok) — exact equality of reconstructed vs original tokens.
+
+    The original side is broadcast-free: both sides shuffle on doc_id and
+    sort-merge join; at scale prefer bucketing both tables by doc_id.
+    """
+    rec = reconstruct(frames, spec).withColumnRenamed("tokens", "rec_tokens")
+    return (
+        token_df.select("doc_id", "tokens")
+        .join(rec, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("tokens") == F.col("rec_tokens")).alias("ok"),
+        )
+    )

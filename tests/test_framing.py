@@ -1,0 +1,133 @@
+"""Frame/hop grid + feature kernel vs the pure-Python oracle.
+
+Mirrors the reference's test strategy (design.md:2260-2345): known-pattern
+goldens (≙ sine-wave golden 2266-2278), exact round-trip (≙ SNR>30dB
+2280-2294, exact here per input_hint), edge lengths (FIXTURES §1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from audio_feature_extraction_spark.core.config import FrameSpec
+from audio_feature_extraction_spark.core.schemas import TOKEN_SEQUENCES
+from audio_feature_extraction_spark.operators import framing, inverse
+
+from tests import oracle
+
+SPEC = FrameSpec(frame_len=16, hop=8)
+
+
+def _mkdf(spark, seqs):
+    rows = [
+        (f"doc_{i}", toks, len(toks), "web") for i, toks in enumerate(seqs)
+    ]
+    return spark.createDataFrame(rows, schema=TOKEN_SEQUENCES)
+
+
+@pytest.fixture(scope="module")
+def edge_seqs():
+    rng = np.random.RandomState(42)
+    return [
+        list(range(100, 100 + 40)),              # non-multiple of hop
+        [7] * 16,                                 # exactly one frame, constant
+        [1, 2, 3],                                # n_tok < frame_len
+        [5],                                      # single token
+        rng.randint(0, 32768, size=257).tolist(), # long, odd length
+        [0, 32767] * 20,                          # extreme values
+    ]
+
+
+def test_frame_spec_validation():
+    with pytest.raises(ValueError):
+        FrameSpec(frame_len=8, hop=16)  # hop > frame_len (design.md:203-204)
+    with pytest.raises(ValueError):
+        FrameSpec(frame_len=0, hop=1)
+    assert FrameSpec(frame_len=16, hop=8).n_buckets == 9
+    assert SPEC.n_frames(0) == 0
+    assert SPEC.n_frames(1) == 1
+    assert SPEC.n_frames(16) == 2  # starts at 0 and 8
+    assert SPEC.n_frames(17) == 3
+
+
+def test_frame_grid_matches_oracle(spark, edge_seqs):
+    df = _mkdf(spark, edge_seqs)
+    got = {
+        (r.doc_id, r.frame_id): list(r.frame_tokens)
+        for r in framing.frame_table(df, SPEC).collect()
+    }
+    for i, toks in enumerate(edge_seqs):
+        exp = oracle.frames(toks, SPEC.frame_len, SPEC.hop)
+        assert SPEC.n_frames(len(toks)) == len(exp)
+        for fid, fr in enumerate(exp):
+            assert got[(f"doc_{i}", fid)] == fr
+    assert len(got) == sum(SPEC.n_frames(len(s)) for s in edge_seqs)
+
+
+@pytest.mark.parametrize("impl", ["udf", "sql"])
+def test_features_match_oracle(spark, edge_seqs, impl):
+    df = _mkdf(spark, edge_seqs)
+    fn = framing.frame_features if impl == "udf" else framing.frame_features_sql
+    rows = fn(df, SPEC).collect()
+    by_key = {(r.doc_id, r.frame_id): r for r in rows}
+    for i, toks in enumerate(edge_seqs):
+        for exp in oracle.frame_features(toks, SPEC.frame_len, SPEC.hop):
+            r = by_key[(f"doc_{i}", exp["frame_id"])]
+            assert list(r.frame_tokens) == exp["frame_tokens"]
+            np.testing.assert_allclose(list(r.features), exp["features"], rtol=1e-12)
+            st = r.stats.asDict()
+            for k, v in exp["stats"].items():
+                np.testing.assert_allclose(st[k], v, rtol=1e-12)
+
+
+def test_udf_and_sql_paths_identical(spark, edge_seqs):
+    df = _mkdf(spark, edge_seqs)
+    a = sorted(
+        framing.frame_features(df, SPEC).collect(),
+        key=lambda r: (r.doc_id, r.frame_id),
+    )
+    b = sorted(
+        framing.frame_features_sql(df, SPEC).collect(),
+        key=lambda r: (r.doc_id, r.frame_id),
+    )
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.doc_id == rb.doc_id and ra.frame_id == rb.frame_id
+        assert list(ra.frame_tokens) == list(rb.frame_tokens)
+        assert list(ra.features) == list(rb.features)  # bit-identical
+        assert ra.stats == rb.stats
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [FrameSpec(16, 8), FrameSpec(16, 16), FrameSpec(16, 4), FrameSpec(5, 3)],
+)
+def test_roundtrip_exact(spark, edge_seqs, spec):
+    """Exact token-array equality through frame -> reconstruct
+    (input_hint invariant; ≙ SC-13 SNR>30dB)."""
+    df = _mkdf(spark, edge_seqs)
+    frames = framing.frame_table(df, spec)
+    checked = inverse.roundtrip_check(df, frames, spec).collect()
+    assert len(checked) == len(edge_seqs)
+    assert all(r.ok for r in checked)
+
+
+def test_roundtrip_oracle_agrees(edge_seqs):
+    for toks in edge_seqs:
+        frs = oracle.frames(toks, SPEC.frame_len, SPEC.hop)
+        assert oracle.reconstruct(frs, SPEC.frame_len, SPEC.hop) == toks
+
+
+def test_empty_doc_produces_no_frames(spark):
+    df = _mkdf(spark, [[]])
+    assert framing.frame_table(df, SPEC).count() == 0
+    assert framing.frame_features(df, SPEC).count() == 0
+
+
+def test_feature_vector_shape(spark, edge_seqs):
+    """n_buckets = frame_len//2+1, the bin-count invariant
+    (design.md:184-189)."""
+    df = _mkdf(spark, edge_seqs)
+    rows = framing.frame_features(df, SPEC).collect()
+    assert all(len(r.features) == SPEC.n_buckets for r in rows)

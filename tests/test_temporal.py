@@ -1,0 +1,143 @@
+"""PIT ops: as-of join, backfill, deltas, sessionize — incl. the
+zero-temporal-leakage property (SURVEY §5: deleting all rows after every
+probe must not change any output)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.core.schemas import EVENTS
+from audio_feature_extraction_spark.operators import asof, sessionize, temporal
+
+from tests import oracle
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # entity 1: normal history; entity 2: duplicate timestamps (tie-break);
+    # entity 3: probe before any state (null asof); plus a strictly-future
+    # block (minutes >= 10000) after every probe — the leakage canary
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, _ts(0), 1, "click", 10.0, None),
+        (2, _ts(5), 1, "view", 0.0, None),       # probe -> 10.0
+        (3, _ts(10), 1, "purchase", 20.0, None),
+        (4, _ts(10), 1, "view", 0.0, None),      # probe at state ts -> 20.0
+        (5, _ts(60), 1, "view", 0.0, None),      # probe -> 20.0
+        (6, _ts(0), 2, "click", 1.0, None),
+        (7, _ts(0), 2, "click", 2.0, None),      # same ts, higher seq wins
+        (8, _ts(1), 2, "view", 0.0, None),       # probe -> 2.0
+        (9, _ts(3), 3, "view", 0.0, None),       # probe, no state -> null
+        (10, _ts(4), 3, "click", 7.0, None),     # state AFTER the probe
+        # future block
+        (11, _ts(10000), 1, "click", 99.0, None),
+        (12, _ts(10001), 2, "purchase", 98.0, None),
+        (13, _ts(10002), 3, "click", 97.0, None),
+    ]
+    return spark.createDataFrame(rows, schema=EVENTS)
+
+
+def _run_asof(ev, strict=False):
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type").isin("click", "purchase"))
+    out = asof.asof_join(probes, states, strict=strict)
+    return {r.event_id: (r.asof_value, r.asof_ts) for r in out.collect()}
+
+
+def test_asof_semantics(events):
+    got = _run_asof(events)
+    assert got[2][0] == 10.0
+    assert got[4][0] == 20.0          # inclusive: state at ts == as_of visible
+    assert got[5][0] == 20.0
+    assert got[8][0] == 2.0           # duplicate-ts tie-break: max event_id
+    assert got[9][0] is None          # no prior state
+    assert got[9][1] is None
+
+
+def test_asof_strict(events):
+    got = _run_asof(events, strict=True)
+    assert got[4][0] == 10.0          # strict: same-ts state invisible
+    assert got[2][0] == 10.0
+
+
+def test_asof_matches_oracle(events):
+    ev = events.collect()
+    probes = [(r.user_id, r.ts) for r in ev if r.event_type == "view"]
+    states = [
+        (r.user_id, r.ts, r.event_id, r.value)
+        for r in ev
+        if r.event_type in ("click", "purchase")
+    ]
+    exp = oracle.asof(probes, states)
+    got = _run_asof(events)
+    probe_ids = [r.event_id for r in ev if r.event_type == "view"]
+    assert [got[i][0] for i in probe_ids] == exp
+
+
+def test_asof_zero_leakage(spark, events):
+    """Deleting every row strictly after the last probe changes nothing."""
+    max_probe_ts = (
+        events.where(F.col("event_type") == "view").agg(F.max("ts")).collect()[0][0]
+    )
+    trimmed = events.where(F.col("ts") <= F.lit(max_probe_ts))
+    assert _run_asof(events) == _run_asof(trimmed)
+
+
+def test_backfill_and_leakage(spark, events):
+    masked = events.withColumn(
+        "value", F.when(F.col("event_type") == "view", None).otherwise(F.col("value"))
+    )
+    got = {r.event_id: r.filled for r in temporal.backfill(masked).collect()}
+    rows = [
+        (r.user_id, r.ts, r.event_id, None if r.event_type == "view" else r.value)
+        for r in events.collect()
+    ]
+    exp = oracle.backfill(rows)
+    ids = [r.event_id for r in events.collect()]
+    assert [got[i] for i in ids] == exp
+    assert got[9] is None  # entity 3 has no prior value at its probe
+
+
+def test_deltas(spark, events):
+    got = {r.event_id: (r.delta, r.delta2) for r in temporal.with_deltas(events).collect()}
+    assert got[1] == (None, None)                     # first row per entity
+    assert got[3][0] == 20.0 - 0.0                    # vs event 2 (ts order)
+    assert got[7][0] == 1.0                           # dup ts: ordered by event_id
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, _ts(0), 1, "click", 1.0, None),
+        (2, _ts(10), 1, "click", 1.0, None),
+        (3, _ts(50), 1, "click", 1.0, None),
+        (4, _ts(55), 1, "click", 1.0, None),
+        (5, _ts(200), 1, "click", 1.0, None),
+        (6, _ts(0), 2, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(rows, schema=EVENTS)
+    got = {r.event_id: r.session_id for r in sessionize.sessionize(df, 1800.0).collect()}
+    assert [got[i] for i in [1, 2, 3, 4, 5]] == [0, 0, 1, 1, 2]
+    assert got[6] == 0
+    orc = oracle.sessionize(
+        [(r[2], r[1].timestamp() * 1e6, r[0]) for r in rows], 1800.0
+    )
+    assert [got[r[0]] for r in rows] == orc
+
+
+def test_rolling_causal(spark, events):
+    out = temporal.rolling_stats(events, k=1).collect()
+    by_id = {r.event_id: r for r in out}
+    # event 2 (entity 1, second row): window = rows 1..2
+    assert by_id[2].roll_n == 2
+    assert by_id[2].roll_avg == (10.0 + 0.0) / 2
+    # first row per entity sees only itself — causality
+    assert by_id[1].roll_n == 1
