@@ -22,13 +22,16 @@ from pyspark.sql import functions as F
 from audio_feature_extraction_spark.core.config import FrameSpec
 from audio_feature_extraction_spark.operators import (
     asof,
+    dedup,
     framing,
     inverse,
     mixer,
     preprocess,
     sessionize,
+    similarity,
     split,
     temporal,
+    textstats,
 )
 from audio_feature_extraction_spark.sources.tokens import (
     load_token_sequences,
@@ -202,6 +205,56 @@ def q_mix_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_QUERY_FILTER = "vec_id % 100 = 0"
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dup_groups(docs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load_token_sequences(spark, sf_dir))
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(load_token_sequences(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = load_token_sequences(spark, sf_dir)
+    return dedup.jaccard_on_pairs(dedup.lsh_candidate_pairs(ts), ts)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_token_sequences(spark, sf_dir))
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(
+        emb, emb.where(F.expr(_ANN_QUERY_FILTER)), k=5
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, emb.where(F.expr(_ANN_QUERY_FILTER)), k=5)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dups(emb, threshold=0.2)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(load_token_sequences(spark, sf_dir))
+
+
 def q_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
     return ts.select(
@@ -236,6 +289,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_normalize": q_trim_normalize,
         "mix_snr": q_mix_snr,
         "rms": q_rms,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_brute": q_ann_brute,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
+        "text_profile": q_text_profile,
+        "fingerprints": q_fingerprints,
     }
 
 
@@ -326,6 +389,22 @@ def oracle_sql() -> dict[str, str]:
         "adjust_length": adjust_sql,
         "trim_normalize": trim_sql,
         "mix_snr": mix_sql,
+        "exact_dup_groups": dedup.exact_dup_oracle_sql(),
+        "minhash_signatures": (
+            f"{_tok_cte()} {dedup.minhash_signatures_oracle_sql()}"
+        ),
+        "lsh_candidate_pairs": (
+            f"{_tok_cte()}, {dedup.lsh_candidate_pairs_oracle_sql()}"
+        ),
+        "ngram_jaccard": f"{_tok_cte()}, {dedup.jaccard_oracle_sql()}",
+        "simhash": f"{_tok_cte()} {dedup.simhash_oracle_sql()}",
+        "ann_brute": similarity.brute_force_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
+        "ann_lsh": similarity.lsh_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
+        "embedding_near_dups": similarity.embedding_near_dups_oracle_sql(
+            threshold=0.2
+        ),
+        "text_profile": textstats.text_profile_oracle_sql(),
+        "fingerprints": f"{_tok_cte()} {textstats.fingerprints_oracle_sql()}",
         "rms": (
             f"{_tok_cte()} SELECT doc_id, "
             f"{mixer.rms_expr('tokens', spark=False)} AS rms FROM tokseq"

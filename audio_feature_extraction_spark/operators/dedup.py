@@ -1,0 +1,275 @@
+"""Deduplication suite for training-data pipelines.
+
+Not present in the reference (its corpus is per-file audio), but a
+first-class requirement of the engine's target workload. All hash
+arithmetic is integer-affine and cross-engine exact (Spark == DuckDB ==
+Python), so every stage is oracle-checkable.
+
+Operators:
+
+* exact duplicates          — md5(text) group (hash-groupBy)
+* MinHash signatures + LSH  — shingle -> minhash -> band -> bucket join
+* SimHash                   — 32-bit sign-aggregated fingerprint
+* n-gram Jaccard            — exact similarity on LSH candidate pairs
+* embedding cosine near-dup — see operators/similarity.py
+
+Scale shape: MinHash signature computation is a narrow map (array
+lambdas, JVM-side); candidate generation is a self-join on band keys —
+the classic LSH trick that turns O(n^2) pair comparison into
+O(sum of bucket^2), shuffle-partitioned by band key. Hot buckets (boiler-
+plate docs) are the skew case: cap bucket width or salt (operators/skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.core.config import MinHashSpec
+
+DEFAULT_MINHASH = MinHashSpec()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_hash, n_docs, min_doc_id): groups with n_docs > 1 are exact
+    duplicate sets; keep min_doc_id as the canonical survivor."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row (min doc_id) per distinct text. Two-shuffle classic;
+    at scale use the hash as a bucketed write key so reruns co-locate."""
+    w = F.row_number().over(
+        Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    )
+    return docs.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn")
+
+
+def exact_dup_oracle_sql(from_clause: str = "documents") -> str:
+    return (
+        f"SELECT md5(text) AS text_hash, count(*) AS n_docs, "
+        f"min(doc_id) AS keep_doc_id FROM {from_clause} "
+        f"GROUP BY md5(text) HAVING count(*) > 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles (token bigrams) — shared by MinHash / Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_expr(spark: bool, col: str = "tokens") -> str:
+    """Distinct bigram shingle codes: s_i = t_i * 32768 + t_{i+1} (< 2^30)."""
+    if spark:
+        return (
+            f"array_distinct(filter(transform(sequence(1, size({col})), "
+            f"i -> case when i < size({col}) then "
+            f"element_at({col}, cast(i as int)) * 32768 + element_at({col}, cast(i+1 as int)) "
+            f"else -1 end), s -> s >= 0))"
+        )
+    return (
+        f"list_distinct(list_transform(range(1, len({col})), "
+        f"i -> {col}[i] * 32768 + {col}[i+1]))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_expr(spec: MinHashSpec, spark: bool, shingles: str) -> str:
+    """num_perm-wide signature: sig_j = min over shingles of
+    (a_j*s + b_j) % prime. Affine ints < 2^62 — exact everywhere.
+    Empty shingle sets (single-token docs) get sentinel prime."""
+    parts = []
+    for j in range(spec.num_perm):
+        a = spec.a0 + j * spec.astep
+        b = spec.b0 + j * spec.bstep
+        if spark:
+            parts.append(
+                f"coalesce(array_min(transform({shingles}, "
+                f"s -> ({a}L * s + {b}L) % {spec.prime})), {spec.prime}L)"
+            )
+        else:
+            parts.append(
+                f"coalesce(list_min(list_transform({shingles}, "
+                f"s -> ({a}::BIGINT * s + {b}) % {spec.prime})), {spec.prime}::BIGINT)"
+            )
+    arr = "array" if spark else "list_value"
+    return f"{arr}({', '.join(parts)})"
+
+
+def minhash_signatures(
+    tokseq: DataFrame, spec: MinHashSpec = DEFAULT_MINHASH
+) -> DataFrame:
+    """(doc_id, signature array<long>) — narrow map, no shuffle."""
+    sh = shingle_expr(spark=True)
+    return tokseq.selectExpr(
+        "doc_id", f"{minhash_expr(spec, True, f'({sh})')} as signature"
+    )
+
+
+def minhash_signatures_oracle_sql(
+    spec: MinHashSpec = DEFAULT_MINHASH, from_clause: str = "tokseq"
+) -> str:
+    sh = shingle_expr(spark=False)
+    return (
+        f"SELECT doc_id, {minhash_expr(spec, False, f'({sh})')} AS signature "
+        f"FROM {from_clause}"
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame, spec: MinHashSpec = DEFAULT_MINHASH
+) -> DataFrame:
+    """(doc_id, band, band_key): band_key = joined signature rows of that
+    band. Docs sharing any band_key are candidates."""
+    r = spec.rows_per_band
+    rows = []
+    for b in range(spec.bands):
+        sl = f"slice(signature, {b * r + 1}, {r})"
+        rows.append(f"struct({b} as band, array_join({sl}, '-') as band_key)")
+    return signatures.selectExpr(
+        "doc_id", f"inline(array({', '.join(rows)}))"
+    )
+
+
+def lsh_candidate_pairs(
+    tokseq: DataFrame, spec: MinHashSpec = DEFAULT_MINHASH
+) -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs via band-bucket self-join.
+
+    Shuffle on band_key; bucket sizes bound join fan-out. AQE skew-split
+    handles hot buckets at runtime.
+    """
+    sigs = minhash_signatures(tokseq, spec)
+    bands = lsh_band_keys(sigs, spec).select("band", "band_key", "doc_id")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def lsh_bands_union_sql(spec: MinHashSpec, sig_from: str = "sigs") -> str:
+    """DuckDB: band table as a UNION ALL over fixed band slices."""
+    r = spec.rows_per_band
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"array_to_string(signature[{b * r + 1}:{b * r + r}], '-') AS band_key "
+        f"FROM {sig_from}"
+        for b in range(spec.bands)
+    )
+
+
+def lsh_candidate_pairs_oracle_sql(
+    spec: MinHashSpec = DEFAULT_MINHASH, tok_from: str = "tokseq"
+) -> str:
+    """CTE continuation — prepend ``WITH tokseq AS (...), `` when composing."""
+    return (
+        f"sigs AS ({minhash_signatures_oracle_sql(spec, tok_from)}), "
+        f"bands AS ({lsh_bands_union_sql(spec)}) "
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
+        f"AND a.doc_id < b.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify on candidates)
+# ---------------------------------------------------------------------------
+
+def jaccard_on_pairs(
+    pairs: DataFrame, tokseq: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs. Two joins against
+    the shingle table (shuffle on doc_id); intersection via
+    array_intersect — JVM-side, no UDF."""
+    sh = tokseq.selectExpr("doc_id", f"{shingle_expr(spark=True)} as shingles")
+    out = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "uni", F.size("sh_a") + F.size("sh_b") - F.col("inter")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / F.col("uni")).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def jaccard_oracle_sql(
+    spec: MinHashSpec = DEFAULT_MINHASH, tok_from: str = "tokseq"
+) -> str:
+    sh = shingle_expr(spark=False)
+    return (
+        f"sh AS (SELECT doc_id, ({sh}) AS shingles FROM {tok_from}), "
+        f"sigs AS ({minhash_signatures_oracle_sql(spec, tok_from)}), "
+        f"bands AS ({lsh_bands_union_sql(spec)}), "
+        f"pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
+        f"AND a.doc_id < b.doc_id) "
+        f"SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, "
+        f"CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+        f"(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard "
+        f"FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id "
+        f"JOIN sh sb ON p.doc_b = sb.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, integer-exact)
+# ---------------------------------------------------------------------------
+
+def simhash_expr(spark: bool, col: str = "tokens", bits: int = 32) -> str:
+    """Sign-aggregated fingerprint: bit b is 1 iff
+    sum over tokens of sign(bit b of h(t)) > 0, h(t) = (t*2654435761) % 2^32.
+    Pure integer arithmetic, identical across engines."""
+    h = f"(t * 2654435761) % 4294967296"
+    if spark:
+        per_bit = (
+            f"transform(sequence(0, {bits - 1}), b -> "
+            f"case when aggregate({col}, 0L, (acc, t) -> acc + "
+            f"(case when (({h}) div shiftleft(1L, b)) % 2 = 1 then 1 else -1 end)) > 0 "
+            f"then shiftleft(1L, b) else 0L end)"
+        )
+        return f"aggregate({per_bit}, 0L, (a, x) -> a + x)"
+    per_bit = (
+        f"list_transform(range(0, {bits}), b -> "
+        f"CASE WHEN list_sum(list_transform({col}, t -> "
+        f"CASE WHEN (({h}) // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (1::BIGINT << b) ELSE 0::BIGINT END)"
+    )
+    return f"list_sum({per_bit})"
+
+
+def simhash(tokseq: DataFrame) -> DataFrame:
+    return tokseq.selectExpr("doc_id", f"{simhash_expr(spark=True)} as simhash")
+
+
+def simhash_oracle_sql(from_clause: str = "tokseq") -> str:
+    return (
+        f"SELECT doc_id, CAST({simhash_expr(spark=False)} AS BIGINT) AS simhash "
+        f"FROM {from_clause}"
+    )

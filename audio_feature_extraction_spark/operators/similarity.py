@@ -1,0 +1,277 @@
+"""Similarity search over embedding vectors (array<float>).
+
+Baseline: brute-force cosine top-k (exact). Scale path: LSH-bucketed
+(random-hyperplane signs) and IVF-style (coarse-bucket probe) variants
+that turn the O(n*q) scan into bucket-local scans.
+
+Cross-engine determinism: cosine over float32 embeddings is computed in
+*double* precision with a sequential left-fold (Spark ``aggregate`` ==
+DuckDB ``list_`` fold via explicit recursion-free reduce) — both engines
+evaluate the same fold order, so scores hash equal (verified). Random
+hyperplanes are deterministic affine constructions, not RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot_expr(a: str, b: str, spark: bool) -> str:
+    """Sequential-fold dot product in double precision (order-fixed)."""
+    if spark:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
+    )
+
+
+def _norm_expr(a: str, spark: bool) -> str:
+    if spark:
+        return (
+            f"sqrt(aggregate({a}, cast(0.0 as double), "
+            f"(acc, v) -> acc + cast(v as double) * v))"
+        )
+    return f"sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * v)))"
+
+
+def cosine_expr(a: str, b: str, spark: bool) -> str:
+    return f"({_dot_expr(a, b, spark)} / ({_norm_expr(a, spark)} * {_norm_expr(b, spark)}))"
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is small (broadcast); the big embedding table streams once —
+    the classic brute-force ANN baseline. Cost O(|emb| * |q|); at 100 TB
+    replace with the bucketed variants below.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = emb.alias("e").crossJoin(F.broadcast(q))
+    scored = joined.where(F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(cosine_expr(f"e.{vec_col}", "qvec", spark=True)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def brute_force_topk_oracle_sql(
+    query_filter: str, k: int = 5, from_clause: str = "embeddings"
+) -> str:
+    cos = cosine_expr("e.embedding", "q.embedding", spark=False)
+    return (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding FROM {from_clause} "
+        f"WHERE {query_filter}), "
+        f"scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine "
+        f"FROM {from_clause} e CROSS JOIN q WHERE e.vec_id != q.query_id), "
+        f"ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
+        f"SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random-hyperplane signs)
+# ---------------------------------------------------------------------------
+
+def hyperplane_sign_expr(plane_idx: int, dim: int, spark: bool, vec: str) -> str:
+    """Sign of <v, h_p> for a deterministic pseudo-random hyperplane:
+    h_p[i] = ((p*1009 + i*9176 + 13) % 2001) - 1000  (zero-mean ints)."""
+    coef = f"(({plane_idx} * 1009 + i * 9176 + 13) % 2001) - 1000"
+    if spark:
+        dot = (
+            f"aggregate(transform(sequence(0, {dim - 1}), i -> "
+            f"cast(element_at({vec}, cast(i + 1 as int)) as double) * ({coef})), "
+            f"cast(0.0 as double), (a, v) -> a + v)"
+        )
+        return f"case when {dot} > 0 then 1 else 0 end"
+    dot = (
+        f"list_sum(list_transform(range(0, {dim}), i -> "
+        f"CAST({vec}[i + 1] AS DOUBLE) * ({coef})))"
+    )
+    return f"CASE WHEN {dot} > 0 THEN 1 ELSE 0 END"
+
+
+def lsh_bucket_expr(
+    n_planes: int, dim: int, spark: bool, vec: str = "embedding", table: int = 0
+) -> str:
+    """Bucket id = concatenated hyperplane sign bits (int). ``table``
+    selects a disjoint plane set (OR-amplification across tables)."""
+    bits = [
+        f"({hyperplane_sign_expr(table * n_planes + p, dim, spark, vec)}) * {1 << p}"
+        for p in range(n_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _tables_expr(
+    n_tables: int, n_planes: int, dim: int, vec: str = "embedding"
+) -> str:
+    """Spark: explode to (tbl, bucket) rows, one per hash table."""
+    rows = ", ".join(
+        f"struct({t} as tbl, {lsh_bucket_expr(n_planes, dim, True, vec, t)} as bucket)"
+        for t in range(n_tables)
+    )
+    return f"inline(array({rows}))"
+
+
+def _tables_union_sql(
+    n_tables: int, n_planes: int, dim: int, from_clause: str, id_sel: str
+) -> str:
+    """DuckDB: (id..., tbl, bucket) rows via UNION ALL over tables."""
+    return " UNION ALL ".join(
+        f"SELECT {id_sel}, {t} AS tbl, "
+        f"{lsh_bucket_expr(n_planes, dim, False, 'embedding', t)} AS bucket "
+        f"FROM {from_clause}"
+        for t in range(n_tables)
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to hyperplane buckets,
+    OR-amplified across ``n_tables`` independent hash tables. Equi-join
+    on (tbl, bucket) instead of a cross join — the 100 TB shape. Recall
+    < 1 by design; tested against the brute-force baseline."""
+    texpr = _tables_expr(n_tables, n_planes, dim, vec_col)
+    e = emb.select(F.col(id_col), F.col(vec_col), F.expr(texpr))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(texpr),
+    )
+    cands = (
+        e.join(q, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", "qvec", id_col, vec_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(cosine_expr(vec_col, "qvec", spark=True)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def lsh_topk_oracle_sql(
+    query_filter: str,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    from_clause: str = "embeddings",
+) -> str:
+    cos = cosine_expr("e.embedding", "q.embedding", spark=False)
+    etab = _tables_union_sql(n_tables, n_planes, dim, from_clause, "vec_id")
+    qtab = _tables_union_sql(
+        n_tables, n_planes, dim, f"(SELECT * FROM {from_clause} WHERE {query_filter})",
+        "vec_id AS query_id",
+    )
+    return (
+        f"WITH eb AS ({etab}), qb AS ({qtab}), "
+        f"cand AS (SELECT DISTINCT qb.query_id, eb.vec_id FROM eb "
+        f"JOIN qb ON eb.tbl = qb.tbl AND eb.bucket = qb.bucket "
+        f"AND eb.vec_id != qb.query_id), "
+        f"scored AS (SELECT c.query_id, c.vec_id AS neighbor_id, {cos} AS cosine "
+        f"FROM cand c JOIN {from_clause} e ON c.vec_id = e.vec_id "
+        f"JOIN {from_clause} q ON c.query_id = q.vec_id), "
+        f"ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
+        f"SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, bucket-restricted
+    across n_tables hash tables (embedding analog of MinHash-LSH dedup)."""
+    texpr = _tables_expr(n_tables, n_planes, dim, vec_col)
+    e = emb.select(F.col(id_col), F.col(vec_col), F.expr(texpr))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(cosine_expr("va", "vb", spark=True)).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
+def embedding_near_dups_oracle_sql(
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    from_clause: str = "embeddings",
+) -> str:
+    etab = _tables_union_sql(n_tables, n_planes, dim, from_clause, "vec_id")
+    cos = cosine_expr("ea.embedding", "eb.embedding", spark=False)
+    return (
+        f"WITH t AS ({etab}), "
+        f"cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"FROM t a JOIN t b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        f"AND a.vec_id < b.vec_id) "
+        f"SELECT c.id_a, c.id_b, {cos} AS cosine "
+        f"FROM cand c JOIN {from_clause} ea ON c.id_a = ea.vec_id "
+        f"JOIN {from_clause} eb ON c.id_b = eb.vec_id "
+        f"WHERE {cos} >= {threshold}"
+    )

@@ -1,0 +1,152 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure SQL (both dialects), exact arithmetic (integer counts + single
+divisions), so every query is oracle-checkable. At 100 TB these are
+narrow maps over the documents scan — zero shuffle, column-pruned to
+``text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (heuristic lang-id)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "et"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _words(col: str, spark: bool) -> str:
+    if spark:
+        return f"filter(split({col}, ' '), w -> length(w) > 0)"
+    return f"list_filter(string_split({col}, ' '), w -> length(w) > 0)"
+
+
+def token_count_expr(spark: bool, col: str = "text") -> str:
+    """Whitespace token count (the BPE-ish regex variant splits on
+    non-alnum boundaries)."""
+    fn = "size" if spark else "len"
+    return f"{fn}({_words(col, spark)})"
+
+
+def word_token_count_expr(spark: bool, col: str = "text") -> str:
+    """BPE-ish: count alnum runs + punctuation marks as separate tokens."""
+    if spark:
+        return (
+            f"size(filter(split(regexp_replace({col}, '([^a-zA-Z0-9 ])', ' $1 '), ' '), "
+            f"w -> length(w) > 0))"
+        )
+    return (
+        f"len(list_filter(string_split(regexp_replace({col}, "
+        f"'([^a-zA-Z0-9 ])', ' \\1 ', 'g'), ' '), w -> length(w) > 0))"
+    )
+
+
+def quality_expr(spark: bool, col: str = "text") -> dict[str, str]:
+    """Quality signals: mean word length, punctuation ratio, stopword
+    ratio, alpha ratio. Exact: integer counts / one division."""
+    words = _words(col, spark)
+    fn, lf, lt = ("size", "filter", "transform") if spark else ("len", "list_filter", "list_transform")
+    n_words = f"{fn}({words})"
+    n_chars = f"length({col})"
+    n_alpha = f"length(regexp_replace({col}, '[^a-zA-Z]', ''))" if spark else \
+        f"length(regexp_replace({col}, '[^a-zA-Z]', '', 'g'))"
+    n_punct = f"length(regexp_replace({col}, '[^.,;:!?]', ''))" if spark else \
+        f"length(regexp_replace({col}, '[^.,;:!?]', '', 'g'))"
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = f"{fn}({lf}({words}, w -> lower(w) IN ({sw})))"
+    sum_wlen = (
+        f"aggregate({lt}({words}, w -> length(w)), 0, (a, x) -> a + x)"
+        if spark
+        else f"list_sum({lt}({words}, w -> length(w)))"
+    )
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "n_chars": f"CAST({n_chars} AS BIGINT)",
+        "mean_word_len": f"(CAST({sum_wlen} AS DOUBLE) / {n_words})",
+        "punct_ratio": f"(CAST({n_punct} AS DOUBLE) / {n_chars})",
+        "stopword_ratio": f"(CAST({n_stop} AS DOUBLE) / {n_words})",
+        "alpha_ratio": f"(CAST({n_alpha} AS DOUBLE) / {n_chars})",
+    }
+
+
+def langid_expr(spark: bool, col: str = "text") -> str:
+    """Argmax of per-language marker-word hit counts; ties resolve to the
+    alphabetically-first language; zero hits -> 'und'."""
+    words = _words(col, spark)
+    fn, lf = ("size", "filter") if spark else ("len", "list_filter")
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        ws = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        scores.append((lang, f"{fn}({lf}({words}, w -> lower(w) IN ({ws})))"))
+    # build nested CASE: best = lang with max count (ties -> first)
+    conds = []
+    for lang, score in scores:
+        others = [s for l2, s in scores if l2 != lang]
+        gt = " AND ".join(
+            f"{score} {'>=' if l2 > lang else '>'} {s}"
+            for (l2, s) in [(l2, s) for l2, s in scores if l2 != lang]
+        )
+        conds.append(f"WHEN {score} > 0 AND {gt} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+def fingerprint_expr(spark: bool, col: str = "tokens") -> str:
+    """Polynomial rolling hash of the token array: fold
+    h = (h*31 + t) % (2^31 - 1) — order-sensitive content fingerprint
+    (≙ sequential sample keys design.md:1355, but content-derived).
+    Modulus keeps h*31 < 2^36, overflow-free in both engines."""
+    p = (1 << 31) - 1
+    if spark:
+        return f"aggregate({col}, 0L, (h, t) -> (h * 31 + t) % {p}L)"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({col}, t -> CAST(t AS BIGINT))), "
+        f"(h, t) -> (h * 31 + t) % {p})"
+    )
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """One row per document with all text-analysis signals."""
+    q = quality_expr(spark=True)
+    cols = [f"{v} as {k}" for k, v in q.items()]
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"{token_count_expr(spark=True)} as n_tokens_ws",
+        f"{word_token_count_expr(spark=True)} as n_tokens_bpe",
+        *cols,
+        f"{langid_expr(spark=True)} as lang_pred",
+    )
+
+
+def text_profile_oracle_sql(from_clause: str = "documents") -> str:
+    q = quality_expr(spark=False)
+    cols = ", ".join(f"{v} AS {k}" for k, v in q.items())
+    return (
+        f"SELECT doc_id, lang, "
+        f"CAST({token_count_expr(spark=False)} AS INTEGER) AS n_tokens_ws, "
+        f"CAST({word_token_count_expr(spark=False)} AS INTEGER) AS n_tokens_bpe, "
+        f"{cols}, {langid_expr(spark=False)} AS lang_pred "
+        f"FROM {from_clause}"
+    )
+
+
+def fingerprints(tokseq: DataFrame) -> DataFrame:
+    return tokseq.selectExpr(
+        "doc_id", f"{fingerprint_expr(spark=True)} as fingerprint"
+    )
+
+
+def fingerprints_oracle_sql(from_clause: str = "tokseq") -> str:
+    return (
+        f"SELECT doc_id, {fingerprint_expr(spark=False)} AS fingerprint "
+        f"FROM {from_clause}"
+    )
