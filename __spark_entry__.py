@@ -29,9 +29,11 @@ from audio_feature_extraction_spark.operators import (
     preprocess,
     sessionize,
     similarity,
+    spectral,
     split,
     temporal,
     textstats,
+    validate,
 )
 from audio_feature_extraction_spark.sources.tokens import (
     load_token_sequences,
@@ -206,6 +208,33 @@ def q_mix_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_QUERY_FILTER = "vec_id % 100 = 0"
+_N_MELS = 4
+
+
+def q_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = framing.frame_features_sql(load_token_sequences(spark, sf_dir), SPEC)
+    return spectral.project_mel(feats, SPEC, _N_MELS)
+
+
+def q_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = framing.frame_features_sql(load_token_sequences(spark, sf_dir), SPEC)
+    return spectral.mfcc(feats, SPEC, _N_MELS)
+
+
+def q_frame_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = framing.frame_table(load_token_sequences(spark, sf_dir), SPEC)
+    return spectral.frame_descriptors(frames, SPEC)
+
+
+def q_frame_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = framing.frame_features_sql(load_token_sequences(spark, sf_dir), SPEC)
+    return temporal.frame_deltas(feats).select(
+        "doc_id", "frame_id", "features", "delta"
+    )
+
+
+def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate.validation_counts(load_token_sequences(spark, sf_dir))
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,6 +328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "text_profile": q_text_profile,
         "fingerprints": q_fingerprints,
+        "mel": q_mel,
+        "mfcc": q_mfcc,
+        "frame_descriptors": q_frame_descriptors,
+        "frame_deltas": q_frame_deltas,
+        "validation_counts": q_validation_counts,
     }
 
 
@@ -310,6 +344,17 @@ def oracle_sql() -> dict[str, str]:
     frame_feat_sql = (
         f"{_frames_cte()} SELECT doc_id, frame_id, frame_tokens, "
         f"{feat} AS features, {stat_cols} FROM frames"
+    )
+    frame_feat_core = f"SELECT doc_id, frame_id, {feat} AS features FROM frames"
+    frame_deltas_sql = (
+        f"{_frames_cte()}, feats AS ({frame_feat_core}), "
+        f"lagged AS (SELECT doc_id, frame_id, features, "
+        f"lag(features) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev "
+        f"FROM feats) "
+        f"SELECT doc_id, frame_id, features, "
+        f"CASE WHEN prev IS NULL THEN CAST([] AS DOUBLE[]) ELSE "
+        f"list_transform(range(1, len(features) + 1), i -> features[i] - prev[i]) "
+        f"END AS delta FROM lagged"
     )
     roundtrip_sql = (
         f"{_frames_cte()}, rec AS ({inverse.reconstruct_oracle_sql(SPEC, 'frames')}) "
@@ -405,6 +450,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_profile": textstats.text_profile_oracle_sql(),
         "fingerprints": f"{_tok_cte()} {textstats.fingerprints_oracle_sql()}",
+        "mel": (
+            f"{_frames_cte()}, feats AS ({frame_feat_core}) "
+            f"{spectral.mel_oracle_sql(SPEC, _N_MELS)}"
+        ),
+        "mfcc": (
+            f"{_frames_cte()}, feats AS ({frame_feat_core}) "
+            f"{spectral.mfcc_oracle_sql(SPEC, _N_MELS)}"
+        ),
+        "frame_descriptors": (
+            f"{_frames_cte()} {spectral.descriptors_oracle_sql(SPEC, 'frames')}"
+        ),
+        "frame_deltas": frame_deltas_sql,
+        "validation_counts": (
+            f"{_tok_cte()} SELECT CASE WHEN n_tok <= 0 THEN 'empty_sequence' "
+            f"ELSE 'ok' END AS check, count(*) AS n FROM tokseq GROUP BY 1"
+        ),
         "rms": (
             f"{_tok_cte()} SELECT doc_id, "
             f"{mixer.rms_expr('tokens', spark=False)} AS rms FROM tokseq"

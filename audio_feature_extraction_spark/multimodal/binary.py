@@ -1,0 +1,165 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+UDFs over ``mapInPandas``. The actual codecs are NOT in this container,
+so the decode step is STUBBED: ``decode_stub=True`` produces a
+deterministic fake (hash-derived bytes/features) and ``decode_stub=False``
+raises ``NotImplementedError`` at the exact seam where a real libvips /
+ffmpeg / soundfile call plugs in. The Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested.
+
+≙ the reference's AudioFileLoader boundary (design.md:451-475): bytes in,
+typed arrays out, NumPy at the I/O seam.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType(), False), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _decode_real(payload: bytes, modality: str) -> np.ndarray:
+    """The real-decoder seam. Plug libvips/ffmpeg/soundfile here."""
+    raise NotImplementedError(
+        f"no {modality} codec in this environment — install pillow/ffmpeg/"
+        f"soundfile and implement _decode_real"
+    )
+
+
+def _decode_fake(payload: bytes, modality: str, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in: sha256-derived pseudo-signal. Stable across
+    runs/engines; lets the full pipeline (batching, schema, downstream
+    aggregation) run end-to-end without codecs."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 8) // len(h) + 1))[: dim * 8], dtype=np.uint64)
+    return (raw % 10_000).astype(np.float64) / 10_000.0
+
+
+def extract_media_features(
+    media: DataFrame, dim: int = 16, decode_stub: bool = True
+) -> DataFrame:
+    """binary payload -> fixed-width feature vector (Arrow-batched).
+
+    Narrow map over the media scan; payloads never leave the executor
+    except as ``dim`` doubles — the 100 TB-friendly shape (decode where
+    the bytes are, ship features only).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes = [], []
+            for payload, modality in zip(pdf["payload"], pdf["modality"]):
+                b = bytes(payload)
+                arr = (
+                    _decode_fake(b, modality, dim)
+                    if decode_stub
+                    else _decode_real(b, modality)
+                )
+                feats.append(arr)
+                nbytes.append(len(b))
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "modality": pdf["modality"],
+                        "features": feats,
+                        "n_bytes": nbytes,
+                    }
+                )
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 2, decode_stub: bool = True
+) -> DataFrame:
+    """Frame-sampling plumbing (video analog of the frame/hop grid): emit
+    every ``every_n``-th frame's payload slice. Stub: payload is split
+    into ``meta.n_frames`` equal byte slices; a real impl seeks keyframes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if not decode_stub:
+                    _decode_real(bytes(payload), "video")
+                n = int(meta["n_frames"] or 1)
+                b = bytes(payload)
+                step = max(len(b) // max(n, 1), 1)
+                for fi in range(0, n, every_n):
+                    rows.append((mid, fi, b[fi * step : (fi + 1) * step]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_idx", "frame_payload"]
+                )
+
+    return media.where(F.col("modality") == "video").mapInPandas(
+        run, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def synthetic_media(spark, n: int = 8) -> DataFrame:
+    """Deterministic fixture: payload bytes derived from the id."""
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"media_{i}".encode()).digest() * (i % 4 + 1)
+        meta = {
+            "width": 64 if modality == "image" else None,
+            "height": 64 if modality == "image" else None,
+            "sample_rate": 16000 if modality == "audio" else None,
+            "n_frames": 6 if modality == "video" else None,
+            "codec": "fake",
+        }
+        rows.append((f"media_{i}", modality, payload, meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

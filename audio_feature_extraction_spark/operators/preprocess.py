@@ -14,7 +14,7 @@ index folding instead of a Python loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAD_MODES = ("constant", "replicate", "reflect")
@@ -90,6 +90,72 @@ def adjust_length_expr(
     start = f"(({n} - {target}) // 2 + 1)"
     crop = f"{col}[{start} : {start} + {target} - 1]"
     return f"CASE WHEN {n} >= {target} THEN {crop} ELSE {pad} END"
+
+
+def adjust_frames(
+    features: DataFrame,
+    target_frames: int,
+    spec_n_buckets: int,
+    crop: str = "center",
+    pad_db: float = -80.0,
+) -> DataFrame:
+    """Pad the frame grid with constant dB rows or crop to exactly
+    ``target_frames`` frames per doc (≙ SpectrogramPreprocessor
+    ._adjust_frames, design.md:1143-1236; pad value −80 dB at 1152,
+    center/random crop 1226-1234).
+
+    'random' crop start is a deterministic hash of doc_id (SURVEY §7.3 —
+    no live RNG). Long-format: crop = filter on frame_id range; pad =
+    union of synthesized rows. One window for per-doc counts, no extra
+    shuffle beyond the doc partitioning."""
+    if crop not in ("center", "random"):
+        raise ValueError(f"crop must be center|random, got {crop!r}")
+    w = Window.partitionBy("doc_id")
+    df = features.withColumn("_n", F.max("frame_id").over(w) + 1)
+    if crop == "center":
+        start = ((F.col("_n") - target_frames) / 2).cast("int")
+    else:
+        start = F.pmod(
+            F.xxhash64("doc_id"),
+            F.greatest(F.col("_n") - target_frames + 1, F.lit(1)),
+        ).cast("int")
+    cropped = (
+        df.where(F.col("_n") >= target_frames)
+        .where(
+            (F.col("frame_id") >= start)
+            & (F.col("frame_id") < start + target_frames)
+        )
+        .withColumn("frame_id", (F.col("frame_id") - start).cast("int"))
+    )
+    short = df.where(F.col("_n") < target_frames)
+    pad_row_src = (
+        short.groupBy("doc_id")
+        .agg(F.max("_n").alias("_n"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("_n"), F.lit(target_frames - 1))
+            ).alias("frame_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_id").cast("int").alias("frame_id"),
+            F.expr("array()").cast("array<int>").alias("frame_tokens"),
+            F.expr(
+                f"transform(sequence(1, {spec_n_buckets}), x -> cast({pad_db} as double))"
+            ).alias("features"),
+            F.expr(
+                "cast(null as struct<mean:double, std:double, min:int, max:int, "
+                "distinct_ratio:double>)"
+            ).alias("stats"),
+        )
+    )
+    keep_cols = ["doc_id", "frame_id", "frame_tokens", "features", "stats"]
+    return (
+        cropped.select(*keep_cols)
+        .unionByName(short.select(*keep_cols))
+        .unionByName(pad_row_src)
+    )
 
 
 def process(

@@ -78,9 +78,11 @@ def frame_deltas(
     (the true MFCC-delta analog, vector-valued; zip_with keeps it JVM-side)."""
     w = Window.partitionBy(entity).orderBy("frame_id")
     prev = F.lag(feature_col, 1).over(w)
+    # first frame gets an empty array, not NULL — cross-engine comparisons
+    # (and downstream writers) treat missing-vs-null arrays inconsistently
     return features.withColumn(
         "delta",
-        F.when(prev.isNull(), None).otherwise(
+        F.when(prev.isNull(), F.expr("cast(array() as array<double>)")).otherwise(
             F.zip_with(F.col(feature_col), prev, lambda a, b: a - b)
         ),
     )

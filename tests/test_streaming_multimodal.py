@@ -1,0 +1,130 @@
+"""Streaming stateful framing + multimodal binary plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from audio_feature_extraction_spark.core.config import FrameSpec
+from audio_feature_extraction_spark.core.schemas import TOKEN_SEQUENCES
+from audio_feature_extraction_spark.multimodal import binary
+from audio_feature_extraction_spark.operators import framing
+from audio_feature_extraction_spark.streaming import stream
+
+SPEC = FrameSpec(frame_len=16, hop=8)
+
+
+def _mkdf(spark, seqs):
+    return spark.createDataFrame(
+        [(f"doc_{i}", t, len(t), "web") for i, t in enumerate(seqs)],
+        schema=TOKEN_SEQUENCES,
+    )
+
+
+def test_emit_frames_recurrence():
+    spec = FrameSpec(frame_len=4, hop=2)
+    # feed [0..9] in two chunks, then flush
+    frames, pos, tail, nf = stream._emit_frames(list(range(6)), 0, 0, spec, False)
+    assert frames == [(0, [0, 1, 2, 3]), (1, [2, 3, 4, 5])]
+    assert pos == 4 and tail == [4, 5]
+    frames2, pos2, tail2, nf2 = stream._emit_frames(
+        tail + list(range(6, 10)), pos, nf, spec, False
+    )
+    assert frames2 == [(2, [4, 5, 6, 7]), (3, [6, 7, 8, 9])]
+    frames3, _, _, _ = stream._emit_frames(tail2 + [], pos2, nf2, spec, True)
+    assert frames3 == [(4, [8, 9])]  # flush emits the tail frame
+
+
+@pytest.mark.parametrize("chunk_size", [5, 16, 7])
+def test_chunked_equals_batch_framing(spark, chunk_size):
+    seqs = [list(range(100, 140)), list(range(7)), [1] * 16]
+    tok = _mkdf(spark, seqs)
+    chunks = stream.chunk_table(tok, chunk_size)
+    got = sorted(
+        (r.doc_id, r.frame_id, tuple(r.frame_tokens))
+        for r in stream.chunked_frame_features(chunks, SPEC).collect()
+    )
+    exp = sorted(
+        (r.doc_id, r.frame_id, tuple(r.frame_tokens))
+        for r in framing.frame_table(tok, SPEC).collect()
+    )
+    assert got == exp
+
+
+def test_stateful_streaming_carries_state(spark, tmp_path):
+    """Real Structured Streaming run: two micro-batches of chunk files;
+    state must carry the buffer across them."""
+    spec = FrameSpec(frame_len=4, hop=2)
+    src = tmp_path / "chunks"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(path, rows):
+        spark.createDataFrame(rows, stream.CHUNK_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    # batch 1: first 6 tokens; batch 2: next 4
+    write_batch(str(src / "b1"), [("d", 0, [0, 1, 2, 3]), ("d", 1, [4, 5])])
+
+    chunks = (
+        spark.readStream.schema(stream.CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    frames = stream.stateful_frames(chunks, spec)
+    q = (
+        frames.writeStream.format("memory")
+        .queryName("frames_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(str(src / "b2"), [("d", 2, [6, 7]), ("d", 3, [8, 9])])
+        q.processAllAvailable()
+        got = sorted(
+            (r.frame_id, tuple(r.frame_tokens))
+            for r in spark.sql("select * from frames_out").collect()
+        )
+    finally:
+        q.stop()
+    # all full frames over [0..9]: state crossed the micro-batch boundary
+    assert got == [
+        (0, (0, 1, 2, 3)),
+        (1, (2, 3, 4, 5)),
+        (2, (4, 5, 6, 7)),
+        (3, (6, 7, 8, 9)),
+    ]
+
+
+def test_media_features_deterministic(spark):
+    media = binary.synthetic_media(spark, 9)
+    out1 = {
+        r.media_id: tuple(r.features)
+        for r in binary.extract_media_features(media, dim=8).collect()
+    }
+    out2 = {
+        r.media_id: tuple(r.features)
+        for r in binary.extract_media_features(media, dim=8).collect()
+    }
+    assert out1 == out2
+    assert all(len(v) == 8 for v in out1.values())
+    assert len(out1) == 9
+
+
+def test_media_decode_stub_raises_without_codec(spark):
+    media = binary.synthetic_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        binary.extract_media_features(media, decode_stub=False).collect()
+
+
+def test_video_frame_sampling(spark):
+    media = binary.synthetic_media(spark, 9)
+    out = binary.sample_video_frames(media, every_n=2).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    # videos have n_frames=6, sampled every 2 -> idx 0,2,4
+    assert all(sorted(v) == [0, 2, 4] for v in by_media.values())
+    assert all(len(r.frame_payload) > 0 for r in out)
