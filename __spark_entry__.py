@@ -81,7 +81,7 @@ def _flatten_stats(df: DataFrame) -> DataFrame:
 def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-kernel path (the engine hot path) checked against DuckDB."""
     ts = load_token_sequences(spark, sf_dir)
-    return _flatten_stats(framing.frame_features(ts, SPEC))
+    return framing.frame_features_flat(ts, SPEC)
 
 
 def q_frame_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,6 +57,12 @@ def asof_join(
     # tag ordering encodes the boundary: inclusive -> state(0) before
     # probe(1) at equal ts; strict -> probe first so it cannot see it
     state_tag, probe_tag = (0, 1) if not strict else (1, 0)
+    # probe payload columns ride through the union (null on state rows) —
+    # avoids a join-back shuffle after the window
+    carry = [
+        c for c in probes.columns if c not in (entity, ts_col, seq_col, value_col)
+    ]
+    pr_schema = dict(zip(probes.schema.names, probes.schema.fields))
     st_tagged = st.select(
         F.col(entity),
         F.col(ts_col),
@@ -64,7 +70,8 @@ def asof_join(
         F.col(seq_col).alias("_seq"),
         F.col(value_col).alias("_sv"),
         F.col(ts_col).alias("_sts"),
-        F.lit(None).cast("long").alias("_probe_seq"),
+        F.lit(None).cast("boolean").alias("_is_probe"),
+        *[F.lit(None).cast(pr_schema[c].dataType).alias(c) for c in carry],
     )
     pr_tagged = probes.select(
         F.col(entity),
@@ -73,29 +80,28 @@ def asof_join(
         F.col(seq_col).alias("_seq"),
         F.lit(None).cast(st.schema[value_col].dataType).alias("_sv"),
         F.lit(None).cast("timestamp").alias("_sts"),
-        F.col(seq_col).alias("_probe_seq"),
+        F.lit(True).alias("_is_probe"),
+        *[F.col(c) for c in carry],
     )
     unioned = st_tagged.unionByName(pr_tagged)
 
-    order = [ts_col, "_tag", "_seq"] if not strict else [ts_col, "_tag", "_seq"]
     w = (
         Window.partitionBy(entity)
-        .orderBy(*order)
+        .orderBy(ts_col, "_tag", "_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
         "asof_value", F.last("_sv", ignorenulls=True).over(w)
     ).withColumn("asof_ts", F.last("_sts", ignorenulls=True).over(w))
 
-    is_probe = F.col("_probe_seq").isNotNull()
-    out = carried.where(is_probe).select(
+    return carried.where(F.col("_is_probe")).select(
         F.col(entity),
-        F.col("_probe_seq").alias(seq_col),
+        F.col("_seq").alias(seq_col),
         F.col(ts_col),
+        *carry,
         "asof_value",
         "asof_ts",
     )
-    return probes.drop(value_col).join(out, [entity, seq_col, ts_col], "inner")
 
 
 def asof_oracle_sql(

@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from audio_feature_extraction_spark.core.config import DEFAULT_FRAME, FrameSpec
 from audio_feature_extraction_spark.core.schemas import FRAME_FEATURES, FRAMES
@@ -159,45 +160,158 @@ def featurize_tokens(tokens: np.ndarray, spec: FrameSpec) -> tuple:
     )
 
 
-def frame_features(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
-    """Frame-grid feature extraction over the token table (Arrow UDF path).
+def featurize_batch(
+    doc_ids: np.ndarray, tok_arrays: list[np.ndarray], spec: FrameSpec
+) -> pd.DataFrame:
+    """Whole-batch vectorized kernel: ALL documents of an Arrow batch are
+    concatenated and processed in one numpy pass (no per-doc Python loop).
+
+    Correctness of the concatenation trick: frame [s, e) of a doc only
+    touches bigrams (i, i+1) for i in [s, e-1), and e never exceeds the
+    doc end — so doc-boundary-crossing bigrams in the global array are
+    never referenced and no masking is needed. Token prefix sums likewise
+    only ever difference within-doc ranges.
+    """
+    h, l, nb = spec.hop, spec.frame_len, spec.n_buckets
+    lens = np.fromiter((len(a) for a in tok_arrays), dtype=np.int64, count=len(tok_arrays))
+    keep = lens > 0
+    if not keep.any():
+        return pd.DataFrame()
+    doc_ids = np.asarray(doc_ids, dtype=object)[keep]
+    tok_arrays = [a for a, k in zip(tok_arrays, keep) if k]
+    lens = lens[keep]
+
+    t = np.concatenate([np.asarray(a, dtype=np.int64) for a in tok_arrays])
+    n = len(t)
+    doc_off = np.concatenate([[0], np.cumsum(lens)])
+    nf_doc = (lens - 1) // h + 1
+    frame_off = np.concatenate([[0], np.cumsum(nf_doc)])
+    total = int(frame_off[-1])
+    frame_doc = np.repeat(np.arange(len(lens)), nf_doc)
+    fid = np.arange(total, dtype=np.int64) - frame_off[frame_doc]
+    starts = doc_off[frame_doc] + fid * h
+    ends = np.minimum(starts + l, doc_off[frame_doc] + lens[frame_doc])
+
+    # bigram-bucket counts via one global prefix-sum histogram
+    counts = np.zeros((total, nb), dtype=np.int32)
+    if n >= 2:
+        bh = ((t[:-1] * spec.bigram_mult + t[1:]) % nb).astype(np.int64)
+        onehot = np.zeros((n - 1, nb), dtype=np.int32)
+        onehot[np.arange(n - 1), bh] = 1
+        csum = np.concatenate(
+            [np.zeros((1, nb), dtype=np.int32), np.cumsum(onehot, axis=0, dtype=np.int32)]
+        )
+        counts = csum[np.maximum(ends - 1, starts)] - csum[starts]
+
+    dbt = _db_table(spec, int(counts.max(initial=0)))
+    db = dbt[counts]
+    floor = dbt[counts.max(axis=1)] - spec.top_db
+    db = np.maximum(db, floor[:, None])
+
+    cs1 = np.concatenate([[0], np.cumsum(t)])
+    cs2 = np.concatenate([[0], np.cumsum(t * t)])
+    flens = (ends - starts).astype(np.float64)
+    s1 = (cs1[ends] - cs1[starts]).astype(np.float64)
+    s2 = (cs2[ends] - cs2[starts]).astype(np.float64)
+    mean = s1 / flens
+    std = np.sqrt(np.maximum(s2 / flens - mean * mean, 0.0))
+
+    mn = np.empty(total, dtype=np.int64)
+    mx = np.empty(total, dtype=np.int64)
+    nd = np.empty(total, dtype=np.int64)
+    full = ends - starts == l
+    if full.any() and n >= l:
+        w = np.lib.stride_tricks.sliding_window_view(t, l)[starts[full]]
+        mn[full] = w.min(axis=1)
+        mx[full] = w.max(axis=1)
+        sw = np.sort(w, axis=1)
+        nd[full] = (np.diff(sw, axis=1) != 0).sum(axis=1) + 1
+    for f in np.nonzero(~full)[0]:
+        seg = t[starts[f] : ends[f]]
+        mn[f] = seg.min()
+        mx[f] = seg.max()
+        nd[f] = len(np.unique(seg))
+
+    t32 = t.astype(np.int32)
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(doc_ids, nf_doc),
+            "frame_id": fid.astype(np.int32),
+            "frame_tokens": [t32[s:e] for s, e in zip(starts, ends)],
+            "features": list(db),
+            "stat_mean": mean,
+            "stat_std": std,
+            "stat_min": mn.astype(np.int32),
+            "stat_max": mx.astype(np.int32),
+            "stat_distinct_ratio": nd / flens,
+        }
+    )
+
+
+FRAME_FEATURES_FLAT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_id", T.IntegerType(), False),
+        T.StructField("frame_tokens", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("features", T.ArrayType(T.DoubleType(), False), False),
+        T.StructField("stat_mean", T.DoubleType(), False),
+        T.StructField("stat_std", T.DoubleType(), False),
+        T.StructField("stat_min", T.IntegerType(), False),
+        T.StructField("stat_max", T.IntegerType(), False),
+        T.StructField("stat_distinct_ratio", T.DoubleType(), False),
+    ]
+)
+
+# cap the concatenated token count per kernel invocation: bounds the
+# O(tokens * n_buckets) prefix-sum histogram to ~15 MB per slice
+_MAX_TOKENS_PER_SLICE = 400_000
+
+
+def frame_features_flat(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    """Frame-grid feature extraction, flat-stats schema (the hot path).
 
     ≙ SpectrogramExtractor.extract batched on GPU (design.md:557-592,
-    2255-2256) — here the "batch kernel" is numpy over Arrow record
-    batches. One narrow mapInPandas stage: no shuffle, scales with input
-    splits; at 100 TB this is embarrassingly parallel.
+    2255-2256) — the "batch kernel" is one numpy pass per Arrow batch.
+    Narrow mapInPandas stage: no shuffle, parallelism = input splits.
     """
     l, h = spec.frame_len, spec.hop  # close over plain ints, not the spec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kspec = FrameSpec(frame_len=l, hop=h)
         for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "frame_id": [], "frame_tokens": [],
-                "features": [], "stats": [],
-            }
-            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
-                arr = np.asarray(toks, dtype=np.int64)
-                if len(arr) == 0:
-                    continue
-                fids, ftoks, db, (mean, std, mn, mx, dr) = featurize_tokens(arr, kspec)
-                k = len(fids)
-                out["doc_id"].extend([doc_id] * k)
-                out["frame_id"].extend(fids.tolist())
-                out["frame_tokens"].extend(ftoks)
-                out["features"].extend(list(db))
-                out["stats"].extend(
-                    {
-                        "mean": float(mean[i]), "std": float(std[i]),
-                        "min": int(mn[i]), "max": int(mx[i]),
-                        "distinct_ratio": float(dr[i]),
-                    }
-                    for i in range(k)
-                )
-            if out["doc_id"]:  # empty batches break Arrow list inference
-                yield pd.DataFrame(out)
+            toks = [np.asarray(a) for a in pdf["tokens"]]
+            ids = pdf["doc_id"].to_numpy(dtype=object)
+            # slice the batch so the histogram working set stays bounded
+            lo = 0
+            while lo < len(toks):
+                hi, acc = lo, 0
+                while hi < len(toks) and (acc == 0 or acc < _MAX_TOKENS_PER_SLICE):
+                    acc += len(toks[hi])
+                    hi += 1
+                out = featurize_batch(ids[lo:hi], toks[lo:hi], kspec)
+                if len(out):
+                    yield out
+                lo = hi
 
-    return df.select("doc_id", "tokens").mapInPandas(run, schema=FRAME_FEATURES)
+    return df.select("doc_id", "tokens").mapInPandas(run, schema=FRAME_FEATURES_FLAT)
+
+
+def frame_features(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    """Struct-stats view over the flat kernel (schema of FRAME_FEATURES)."""
+    flat = frame_features_flat(df, spec)
+    return flat.select(
+        "doc_id",
+        "frame_id",
+        "frame_tokens",
+        "features",
+        F.struct(
+            F.col("stat_mean").alias("mean"),
+            F.col("stat_std").alias("std"),
+            F.col("stat_min").alias("min"),
+            F.col("stat_max").alias("max"),
+            F.col("stat_distinct_ratio").alias("distinct_ratio"),
+        ).alias("stats"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -73,15 +73,16 @@ def roundtrip_check(
 ) -> DataFrame:
     """(doc_id, ok) — exact equality of reconstructed vs original tokens.
 
-    The original side is broadcast-free: both sides shuffle on doc_id and
-    sort-merge join; at scale prefer bucketing both tables by doc_id.
+    The original side ships only ``xxhash64(tokens)`` into the join
+    (16 bytes/row instead of the whole array); the reconstructed side is
+    hashed post-aggregation. Equality-by-hash: collision odds 2^-64 per
+    doc — the unit tests additionally compare raw arrays.
     """
-    rec = reconstruct(frames, spec).withColumnRenamed("tokens", "rec_tokens")
+    rec = reconstruct(frames, spec).select(
+        "doc_id", F.xxhash64("tokens").alias("_rec_h")
+    )
+    orig = token_df.select("doc_id", F.xxhash64("tokens").alias("_orig_h"))
     return (
-        token_df.select("doc_id", "tokens")
-        .join(rec, "doc_id", "left")
-        .select(
-            "doc_id",
-            (F.col("tokens") == F.col("rec_tokens")).alias("ok"),
-        )
+        orig.join(rec, "doc_id", "left")
+        .select("doc_id", (F.col("_orig_h") == F.col("_rec_h")).alias("ok"))
     )

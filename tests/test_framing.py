@@ -111,6 +111,11 @@ def test_roundtrip_exact(spark, edge_seqs, spec):
     checked = inverse.roundtrip_check(df, frames, spec).collect()
     assert len(checked) == len(edge_seqs)
     assert all(r.ok for r in checked)
+    # raw-array comparison (roundtrip_check itself compares hashes)
+    rec = {r.doc_id: list(r.tokens) for r in inverse.reconstruct(frames, spec).collect()}
+    for i, toks in enumerate(edge_seqs):
+        if toks:
+            assert rec[f"doc_{i}"] == toks
 
 
 def test_roundtrip_oracle_agrees(edge_seqs):
