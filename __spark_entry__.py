@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from audio_feature_extraction_spark.core.config import FrameSpec
 from audio_feature_extraction_spark.operators import (
     asof,
+    augment,
     dedup,
     framing,
     inverse,
@@ -237,6 +238,16 @@ def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate.validation_counts(load_token_sequences(spark, sf_dir))
 
 
+def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = load_token_sequences(spark, sf_dir)
+    return ts.select(
+        "doc_id",
+        F.expr(augment.pitch_shift_expr(7, 32768, spark=True)).alias("pitch_shifted"),
+        F.expr(augment.time_stretch_expr(2, 3, spark=True)).alias("stretched"),
+        F.expr(augment.noise_inject_expr(10, 32768, spark=True)).alias("noised"),
+    )
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_dup_groups(docs)
@@ -333,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_descriptors": q_frame_descriptors,
         "frame_deltas": q_frame_deltas,
         "validation_counts": q_validation_counts,
+        "augment": q_augment,
     }
 
 
@@ -465,6 +477,13 @@ def oracle_sql() -> dict[str, str]:
         "validation_counts": (
             f"{_tok_cte()} SELECT CASE WHEN n_tok <= 0 THEN 'empty_sequence' "
             f"ELSE 'ok' END AS check, count(*) AS n FROM tokseq GROUP BY 1"
+        ),
+        "augment": (
+            f"{_tok_cte()} SELECT doc_id, "
+            f"{augment.pitch_shift_expr(7, 32768, spark=False)} AS pitch_shifted, "
+            f"{augment.time_stretch_expr(2, 3, spark=False)} AS stretched, "
+            f"{augment.noise_inject_expr(10, 32768, spark=False)} AS noised "
+            f"FROM tokseq"
         ),
         "rms": (
             f"{_tok_cte()} SELECT doc_id, "

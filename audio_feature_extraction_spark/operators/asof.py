@@ -44,15 +44,11 @@ def asof_join(
     latest state at-or-before (``strict=False``) or strictly-before their
     timestamp. Probes with no prior state keep nulls.
     """
-    # dedupe states to one row per (entity, ts): keep max seq — must match
-    # the oracle's tie-break exactly
-    wded = Window.partitionBy(entity, ts_col).orderBy(F.col(seq_col).desc())
-    st = (
-        states.select(entity, ts_col, value_col, seq_col)
-        .withColumn("_rn", F.row_number().over(wded))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # no pre-dedupe needed: the carry-forward window orders states by
+    # (ts, tag, seq), so among equal-ts states the max-seq row is the last
+    # one carried — exactly the oracle's row_number()-desc tie-break, with
+    # one less shuffle
+    st = states.select(entity, ts_col, value_col, seq_col)
 
     # tag ordering encodes the boundary: inclusive -> state(0) before
     # probe(1) at equal ts; strict -> probe first so it cannot see it

@@ -181,8 +181,10 @@ def featurize_batch(
     tok_arrays = [a for a, k in zip(tok_arrays, keep) if k]
     lens = lens[keep]
 
-    t = np.concatenate([np.asarray(a, dtype=np.int64) for a in tok_arrays])
-    n = len(t)
+    t32 = np.concatenate([np.asarray(a, dtype=np.int32) for a in tok_arrays])
+    n = len(t32)
+    # narrowest dtype for the sort-heavy path (vocab 32768 fits int16)
+    tnarrow = t32.astype(np.int16) if t32.max(initial=0) < 32768 else t32
     doc_off = np.concatenate([[0], np.cumsum(lens)])
     nf_doc = (lens - 1) // h + 1
     frame_off = np.concatenate([[0], np.cumsum(nf_doc)])
@@ -191,48 +193,54 @@ def featurize_batch(
     fid = np.arange(total, dtype=np.int64) - frame_off[frame_doc]
     starts = doc_off[frame_doc] + fid * h
     ends = np.minimum(starts + l, doc_off[frame_doc] + lens[frame_doc])
+    full = ends - starts == l
 
-    # bigram-bucket counts via one global prefix-sum histogram
+    # bigram-bucket counts: full frames via one flat bincount over strided
+    # windows (low memory traffic); ragged tails individually
     counts = np.zeros((total, nb), dtype=np.int32)
     if n >= 2:
-        bh = ((t[:-1] * spec.bigram_mult + t[1:]) % nb).astype(np.int64)
-        onehot = np.zeros((n - 1, nb), dtype=np.int32)
-        onehot[np.arange(n - 1), bh] = 1
-        csum = np.concatenate(
-            [np.zeros((1, nb), dtype=np.int32), np.cumsum(onehot, axis=0, dtype=np.int32)]
-        )
-        counts = csum[np.maximum(ends - 1, starts)] - csum[starts]
+        bh = ((t32[:-1].astype(np.int64) * spec.bigram_mult + t32[1:]) % nb)
+        if full.any() and len(bh) >= l - 1:
+            sw = np.lib.stride_tricks.sliding_window_view(bh, l - 1)
+            sf = starts[full]
+            rows = np.repeat(np.arange(len(sf), dtype=np.int64), l - 1)
+            flat = rows * nb + sw[sf].ravel()
+            counts[full] = np.bincount(flat, minlength=len(sf) * nb).reshape(
+                len(sf), nb
+            )
+        for f in np.nonzero(~full)[0]:
+            seg = bh[starts[f] : max(ends[f] - 1, starts[f])]
+            counts[f] = np.bincount(seg, minlength=nb)
 
     dbt = _db_table(spec, int(counts.max(initial=0)))
     db = dbt[counts]
     floor = dbt[counts.max(axis=1)] - spec.top_db
     db = np.maximum(db, floor[:, None])
 
-    cs1 = np.concatenate([[0], np.cumsum(t)])
-    cs2 = np.concatenate([[0], np.cumsum(t * t)])
+    t64 = t32.astype(np.int64)
+    cs1 = np.concatenate([[0], np.cumsum(t64)])
+    cs2 = np.concatenate([[0], np.cumsum(t64 * t64)])
     flens = (ends - starts).astype(np.float64)
     s1 = (cs1[ends] - cs1[starts]).astype(np.float64)
     s2 = (cs2[ends] - cs2[starts]).astype(np.float64)
     mean = s1 / flens
     std = np.sqrt(np.maximum(s2 / flens - mean * mean, 0.0))
 
+    # one sort of the narrow windows yields min, max, AND distinct count
     mn = np.empty(total, dtype=np.int64)
     mx = np.empty(total, dtype=np.int64)
     nd = np.empty(total, dtype=np.int64)
-    full = ends - starts == l
     if full.any() and n >= l:
-        w = np.lib.stride_tricks.sliding_window_view(t, l)[starts[full]]
-        mn[full] = w.min(axis=1)
-        mx[full] = w.max(axis=1)
+        w = np.lib.stride_tricks.sliding_window_view(tnarrow, l)[starts[full]]
         sw = np.sort(w, axis=1)
+        mn[full] = sw[:, 0]
+        mx[full] = sw[:, -1]
         nd[full] = (np.diff(sw, axis=1) != 0).sum(axis=1) + 1
     for f in np.nonzero(~full)[0]:
-        seg = t[starts[f] : ends[f]]
+        seg = tnarrow[starts[f] : ends[f]]
         mn[f] = seg.min()
         mx[f] = seg.max()
         nd[f] = len(np.unique(seg))
-
-    t32 = t.astype(np.int32)
     return pd.DataFrame(
         {
             "doc_id": np.repeat(doc_ids, nf_doc),

@@ -68,6 +68,58 @@ def reconstruct_oracle_sql(
     )
 
 
+def reconstruct_with_params(frames: DataFrame, params: DataFrame) -> DataFrame:
+    """J4 — reconstruction-parameter join (design.md:1601-1630): feature
+    rows join their stored frame/hop params before inversion, so mixed-
+    grid datasets invert correctly.
+
+    ``params``: (doc_id, frame_len, hop) dimension table — broadcast (it
+    is tiny next to the frame table, as the reference's per-sample attrs
+    are tiny next to tensors).
+    """
+    joined = frames.join(F.broadcast(params), "doc_id", "inner")
+    contrib = (
+        "case when frame_id = 0 then frame_tokens "
+        "else slice(frame_tokens, frame_len - hop + 1, hop) end"
+    )
+    return (
+        joined.selectExpr("doc_id", "frame_id", f"{contrib} as contrib")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "flatten(transform(sort_array(collect_list(struct(frame_id, contrib))),"
+                " s -> s.contrib))"
+            ).alias("tokens")
+        )
+    )
+
+
+def iterative_refine(
+    token_df: DataFrame,
+    frames: DataFrame,
+    spec: FrameSpec = DEFAULT_FRAME,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Griffin-Lim analog (design.md:684-744: iterative signal refinement,
+    n_iter fixed, driver-side loop over small constant iterations).
+
+    Integer tokens make one pass exact, so the fixed-point is reached at
+    iteration 1 — the loop demonstrates the project/reproject shape:
+    reconstruct -> re-frame -> reconstruct ... Each iteration is a full
+    Spark job; n_iter stays a small constant exactly as in the reference
+    (32 iterations ≈ 32× one ISTFT, validation-design.md:120-123).
+    """
+    from audio_feature_extraction_spark.operators import framing
+
+    current = reconstruct(frames, spec)
+    for _ in range(max(n_iter - 1, 0)):
+        ts = current.withColumn("n_tok", F.size("tokens").cast("int")).withColumn(
+            "source", F.lit("refine")
+        )
+        current = reconstruct(framing.frame_table(ts, spec), spec)
+    return current
+
+
 def roundtrip_check(
     token_df: DataFrame, frames: DataFrame, spec: FrameSpec = DEFAULT_FRAME
 ) -> DataFrame:

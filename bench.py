@@ -31,7 +31,7 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_queries(parallelism: int) -> dict:
+def run_queries(parallelism: int, amplify: int = AMPLIFY) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
@@ -48,16 +48,19 @@ def run_queries(parallelism: int) -> dict:
     base = load_token_sequences(spark, SF_DIR)
     # deterministic amplification: R replicas with distinct doc_ids
     amplified = (
-        base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+        base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1))))
         .withColumn("doc_id", F.concat_ws("_r", "doc_id", "rep"))
         .drop("rep")
-        .repartition(parallelism * 2)
+        .repartition(parallelism * 4)
         .persist()
     )
     n_seq = amplified.count()  # materialize before timing
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     ev.count()  # warm file metadata
+
+    # warmup: spawn every Python UDF worker + JIT the kernel before timing
+    _noop(framing.frame_features(base.repartition(parallelism), spec))
 
     timings: dict[str, float] = {}
 
@@ -111,11 +114,14 @@ def run_queries(parallelism: int) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        # same job + input at two parallelism levels, fresh JVMs
+        # same job + input at N and 4N parallelism, fresh JVMs, larger
+        # amplification so per-level wall time amortizes fixed costs
+        amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMPLIFY", "100"))
         results = {}
         for p in (8, 32):
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", str(p)],
+                [sys.executable, os.path.abspath(__file__), "--single", str(p),
+                 "--amplify", str(amp)],
                 capture_output=True, text=True, check=True,
             )
             results[p] = json.loads(out.stdout.strip().splitlines()[-1])
@@ -131,11 +137,17 @@ def main() -> None:
                 "local[32]": results[32]["queries"],
             },
             "sf": results[32]["sf"],
+            "n_sequences": results[32]["n_sequences"],
         }))
         return
     if "--single" in sys.argv:
         p = int(sys.argv[sys.argv.index("--single") + 1])
-        print(json.dumps(run_queries(p)))
+        amp = (
+            int(sys.argv[sys.argv.index("--amplify") + 1])
+            if "--amplify" in sys.argv
+            else AMPLIFY
+        )
+        print(json.dumps(run_queries(p, amp)))
         return
     print(json.dumps(run_queries(CPUS)))
 

@@ -1,0 +1,121 @@
+"""Physical-plan quality gates — the shape we want at 100 TB, asserted.
+
+These tests read `.explain` output and fail if a regression introduces an
+unexpected shuffle, loses predicate pushdown, or drops a broadcast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.core.config import FrameSpec
+from audio_feature_extraction_spark.operators import (
+    asof, framing, inverse, mixer, sessionize, temporal,
+)
+from audio_feature_extraction_spark.sources.tokens import load_token_sequences
+
+SF = "/root/testdata/sf0.001"
+SPEC = FrameSpec(frame_len=16, hop=8)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    return _plan(df).count("Exchange hashpartitioning") + _plan(df).count(
+        "Exchange rangepartitioning"
+    )
+
+
+def test_frame_features_is_shuffle_free(spark):
+    """The flagship featurization must stay embarrassingly parallel."""
+    df = framing.frame_features_flat(load_token_sequences(spark, SF), SPEC)
+    assert _n_exchanges(df) == 0
+
+
+def test_frame_table_is_shuffle_free(spark):
+    df = framing.frame_table(load_token_sequences(spark, SF), SPEC)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 0
+    assert "Generate inline" in plan  # row -> frames stays a generator, no UDF
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_scan_prunes_columns(spark):
+    """Token derivation must not read unused document columns."""
+    df = load_token_sequences(spark, SF).select("doc_id", "n_tok")
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" in scan or "doc_id" in scan
+    assert "lang" not in scan  # unused column pruned from the parquet scan
+
+
+def test_filter_pushdown_to_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.col("source") == "src0"
+    )
+    plan = _plan(docs)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(source,src0)" in plan.replace(" ", "")
+
+
+def test_asof_join_single_exchange(spark):
+    """Union + carry-forward sort-merge: exactly ONE hash exchange on the
+    entity key — no join-back, no dedupe shuffle."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = asof.asof_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type").isin("click", "purchase")),
+    )
+    assert _n_exchanges(out) == 1
+
+
+def test_temporal_chain_shares_one_exchange(spark):
+    """deltas + backfill + rolling over the same entity ordering reuse a
+    single exchange (windows share partitioning)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = temporal.rolling_stats(
+        temporal.backfill(temporal.with_deltas(ev)), k=9
+    )
+    assert _n_exchanges(out) == 1
+
+
+def test_sessionize_single_exchange(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert _n_exchanges(sessionize.sessionize(ev)) == 1
+
+
+def test_session_summary_reuses_partitioning(spark):
+    """groupBy(user_id, session_id) after a window partitioned by user_id
+    must not re-shuffle (prefix partitioning satisfies the agg)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sessionize.session_summary(ev)
+    assert _n_exchanges(out) == 1
+
+
+def test_mixer_broadcasts_noise_bank(spark):
+    ts = load_token_sequences(spark, SF)
+    num = F.regexp_replace("doc_id", "[^0-9]", "").cast("bigint")
+    paired = mixer.pair_clean_noise(ts.where(num % 2 == 0), ts.where(num % 2 == 1))
+    assert "BroadcastHashJoin" in _plan(paired)
+
+
+def test_reconstruct_single_shuffle(spark):
+    frames = framing.frame_table(load_token_sequences(spark, SF), SPEC)
+    rec = inverse.reconstruct(frames, SPEC)
+    assert _n_exchanges(rec) == 1
+
+
+def test_params_join_broadcasts(spark):
+    frames = framing.frame_table(load_token_sequences(spark, SF), SPEC)
+    params = frames.sparkSession.createDataFrame(
+        [("doc_0", 16, 8)], "doc_id string, frame_len int, hop int"
+    )
+    out = inverse.reconstruct_with_params(frames, params)
+    assert "BroadcastHashJoin" in _plan(out)
