@@ -100,6 +100,135 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    probes: DataFrame,
+    states: DataFrame,
+    bucket_seconds: float = 86400.0,
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Skew-proof as-of join: segmented-scan formulation.
+
+    A hot entity with millions of rows makes the plain window sort a
+    single-partition straggler. Here the carry-forward becomes a
+    two-level parallel prefix (the classic segmented scan):
+
+    1. partition rows into (entity, time-bucket) groups and carry forward
+       *locally* — the exchange key (entity, bucket) splits a hot entity
+       across many partitions;
+    2. build the tiny per-(entity, bucket) "last state" table, carry IT
+       forward across buckets per entity (rows = entities × buckets —
+       broadcast-sized);
+    3. probes take their local carry if present, else the previous
+       bucket's boundary carry.
+
+    Exact same semantics as ``asof_join(strict=False)`` (tested), two
+    exchanges instead of one, but no partition exceeds one bucket of one
+    entity — the north-rule salting story for J5.
+    """
+    bucket_us = int(bucket_seconds * 1_000_000)
+    micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    st = states.select(
+        F.col(entity),
+        F.col(ts_col),
+        F.lit(0).alias("_tag"),
+        F.col(seq_col).alias("_seq"),
+        F.col(value_col).alias("_sv"),
+        F.col(ts_col).alias("_sts"),
+    )
+    pr = probes.select(
+        F.col(entity),
+        F.col(ts_col),
+        F.lit(1).alias("_tag"),
+        F.col(seq_col).alias("_seq"),
+        F.lit(None).cast(st.schema["_sv"].dataType).alias("_sv"),
+        F.lit(None).cast("timestamp").alias("_sts"),
+    )
+    u = st.unionByName(pr).withColumn(
+        "_bucket", (micros(ts_col) / bucket_us).cast("long")
+    )
+
+    # 1. local carry within (entity, bucket)
+    wloc = (
+        Window.partitionBy(entity, "_bucket")
+        .orderBy(ts_col, "_tag", "_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = u.withColumn("_lv", F.last("_sv", ignorenulls=True).over(wloc)).withColumn(
+        "_lts", F.last("_sts", ignorenulls=True).over(wloc)
+    )
+
+    # 2. per-bucket boundary carries (tiny), carried across buckets
+    bounds = (
+        u.where(F.col("_tag") == 0)
+        .groupBy(entity, "_bucket")
+        .agg(
+            F.max(F.struct(ts_col, "_seq", "_sv", "_sts")).alias("_m")
+        )
+        .select(entity, "_bucket", F.col("_m._sv").alias("_bv"), F.col("_m._sts").alias("_bts"))
+    )
+    wb = (
+        Window.partitionBy(entity)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_bounds = bounds.withColumn(
+        "_cv", F.last("_bv", ignorenulls=True).over(wb)
+    ).withColumn("_cts", F.last("_bts", ignorenulls=True).over(wb))
+    # value carried INTO bucket b = carry through bucket b-1
+    prev_carry = carried_bounds.select(
+        F.col(entity),
+        (F.col("_bucket") + 1).alias("_bucket"),
+        F.col("_cv").alias("_pv"),
+        F.col("_cts").alias("_pts"),
+    )
+    # buckets with no own states still need the carry: forward-fill over
+    # the probe buckets too — join on the probe's bucket via the most
+    # recent bound <= bucket-1: implement with a second small window after
+    # expanding to all observed buckets
+    all_buckets = (
+        u.select(entity, "_bucket")
+        .unionByName(prev_carry.select(entity, "_bucket"))
+        .distinct()
+    )
+    filled = (
+        all_buckets.join(prev_carry, [entity, "_bucket"], "left")
+        .withColumn(
+            "_pv",
+            F.last("_pv", ignorenulls=True).over(
+                Window.partitionBy(entity)
+                .orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "_pts",
+            F.last("_pts", ignorenulls=True).over(
+                Window.partitionBy(entity)
+                .orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+
+    # 3. combine: local carry wins, else boundary carry from prior buckets
+    out = (
+        local.where(F.col("_tag") == 1)
+        .join(F.broadcast(filled), [entity, "_bucket"], "left")
+        .select(
+            F.col(entity),
+            F.col("_seq").alias(seq_col),
+            F.col(ts_col),
+            F.coalesce("_lv", "_pv").alias("asof_value"),
+            F.coalesce("_lts", "_pts").alias("asof_ts"),
+        )
+    )
+    return out
+
+
 def asof_oracle_sql(
     probe_filter: str,
     state_filter: str,

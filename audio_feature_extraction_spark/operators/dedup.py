@@ -87,24 +87,30 @@ def shingle_expr(spark: bool, col: str = "tokens") -> str:
 
 def minhash_expr(spec: MinHashSpec, spark: bool, shingles: str) -> str:
     """num_perm-wide signature: sig_j = min over shingles of
-    (a_j*s + b_j) % prime. Affine ints < 2^62 — exact everywhere.
-    Empty shingle sets (single-token docs) get sentinel prime."""
+    (a_j*s + b_j) % prime, a_j = a0 + j*astep, b_j = b0 + j*bstep.
+    Affine ints < 2^62 — exact everywhere. Empty shingle sets
+    (single-token docs) get sentinel prime.
+
+    Spark dialect binds the shingle array ONCE via a single-element
+    transform (a lambda "let") — without it the shingle expression is
+    inlined num_perm times and dominates the plan (measured ~10x)."""
+    if spark:
+        inner = (
+            f"transform(sequence(0, {spec.num_perm - 1}), j -> "
+            f"coalesce(array_min(transform(sh, "
+            f"s -> (({spec.a0}L + j * {spec.astep}) * s "
+            f"+ {spec.b0}L + j * {spec.bstep}) % {spec.prime})), {spec.prime}L))"
+        )
+        return f"element_at(transform(array({shingles}), sh -> {inner}), 1)"
     parts = []
     for j in range(spec.num_perm):
         a = spec.a0 + j * spec.astep
         b = spec.b0 + j * spec.bstep
-        if spark:
-            parts.append(
-                f"coalesce(array_min(transform({shingles}, "
-                f"s -> ({a}L * s + {b}L) % {spec.prime})), {spec.prime}L)"
-            )
-        else:
-            parts.append(
-                f"coalesce(list_min(list_transform({shingles}, "
-                f"s -> ({a}::BIGINT * s + {b}) % {spec.prime})), {spec.prime}::BIGINT)"
-            )
-    arr = "array" if spark else "list_value"
-    return f"{arr}({', '.join(parts)})"
+        parts.append(
+            f"coalesce(list_min(list_transform({shingles}, "
+            f"s -> ({a}::BIGINT * s + {b}) % {spec.prime})), {spec.prime}::BIGINT)"
+        )
+    return f"list_value({', '.join(parts)})"
 
 
 def minhash_signatures(

@@ -32,6 +32,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -241,12 +242,23 @@ def featurize_batch(
         mn[f] = seg.min()
         mx[f] = seg.max()
         nd[f] = len(np.unique(seg))
+    # zero-copy Arrow list columns: building 2×total per-row Python
+    # objects (token slices + feature rows) dominates otherwise
+    flens_i = (ends - starts).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(flens_i)])
+    intra = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], flens_i)
+    gather = np.repeat(starts, flens_i) + intra
+    tok_list = pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()), pa.array(t32[gather])
+    )
+    feat_offs = np.arange(0, nb * (total + 1), nb, dtype=np.int32)
+    feat_list = pa.ListArray.from_arrays(pa.array(feat_offs), pa.array(db.ravel()))
     return pd.DataFrame(
         {
             "doc_id": np.repeat(doc_ids, nf_doc),
             "frame_id": fid.astype(np.int32),
-            "frame_tokens": [t32[s:e] for s, e in zip(starts, ends)],
-            "features": list(db),
+            "frame_tokens": pd.arrays.ArrowExtensionArray(tok_list),
+            "features": pd.arrays.ArrowExtensionArray(feat_list),
             "stat_mean": mean,
             "stat_std": std,
             "stat_min": mn.astype(np.int32),
@@ -270,9 +282,11 @@ FRAME_FEATURES_FLAT = T.StructType(
     ]
 )
 
-# cap the concatenated token count per kernel invocation: bounds the
-# O(tokens * n_buckets) prefix-sum histogram to ~15 MB per slice
-_MAX_TOKENS_PER_SLICE = 400_000
+# cap the concatenated token count per kernel invocation — keeps each
+# slice's working set near L2/L3-resident so concurrent workers don't
+# saturate DRAM bandwidth (measured optimum ~64k tokens across 1/4/16/32
+# worker configurations)
+_MAX_TOKENS_PER_SLICE = 64_000
 
 
 def frame_features_flat(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
