@@ -238,6 +238,43 @@ def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate.validation_counts(load_token_sequences(spark, sf_dir))
 
 
+def q_trailing_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return framing.trailing_frame_table(load_token_sequences(spark, sf_dir), SPEC)
+
+
+def q_frame_features_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = load_token_sequences(spark, sf_dir)
+    return framing.frame_features_weighted_sql(ts, SPEC)
+
+
+def q_dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = load_token_sequences(spark, sf_dir)
+    return framing.dataset_summary(framing.frame_features_flat(ts, SPEC))
+
+
+def q_pit_feature_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integration flagship: the feature-store loop. Per-doc features
+    (RMS) become timestamped state rows on the event timeline; each
+    'view' probe is served the latest feature with zero leakage."""
+    ts = load_token_sequences(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = ev.agg(F.min("ts")).collect()[0][0]
+    num = F.regexp_replace("doc_id", "[^0-9]", "").cast("bigint")
+    states = ts.select(
+        (num % 15).alias("user_id"),
+        F.expr(
+            "timestampadd(SECOND, cast(cast(regexp_replace(doc_id, '[^0-9]', '') as bigint) * 60 as int), "
+            f"timestamp'{t0}')"
+        ).alias("ts"),
+        F.expr(mixer.rms_expr("tokens", spark=True)).alias("value"),
+        num.alias("event_id"),
+    )
+    probes = ev.where(F.expr(_PROBE_FILTER))
+    return asof.asof_join(probes, states).select(
+        "user_id", "event_id", "ts", "asof_value", "asof_ts"
+    )
+
+
 def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
     return ts.select(
@@ -345,6 +382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_deltas": q_frame_deltas,
         "validation_counts": q_validation_counts,
         "augment": q_augment,
+        "trailing_frames": q_trailing_frames,
+        "frame_features_weighted": q_frame_features_weighted,
+        "dataset_summary": q_dataset_summary,
+        "pit_feature_serving": q_pit_feature_serving,
     }
 
 
@@ -477,6 +518,35 @@ def oracle_sql() -> dict[str, str]:
         "validation_counts": (
             f"{_tok_cte()} SELECT CASE WHEN n_tok <= 0 THEN 'empty_sequence' "
             f"ELSE 'ok' END AS check, count(*) AS n FROM tokseq GROUP BY 1"
+        ),
+        "trailing_frames": (
+            f"{_tok_cte()} {framing.trailing_frames_oracle_sql(SPEC, 'tokseq')}"
+        ),
+        "frame_features_weighted": (
+            f"{_frames_cte()} "
+            f"{framing.frame_features_weighted_oracle_sql(SPEC, 'frames')}"
+        ),
+        "dataset_summary": (
+            f"{_frames_cte()}, feats AS ({frame_feat_core}) "
+            f"SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_frames, "
+            f"count(DISTINCT len(features)) AS n_feature_widths, "
+            f"CAST(min(len(features)) AS INTEGER) AS feature_width, "
+            f"max(frame_id) AS max_frame_id FROM feats"
+        ),
+        "pit_feature_serving": (
+            f"{_tok_cte()}, t0 AS (SELECT min(ts) AS t0 FROM events), "
+            f"st AS (SELECT CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT) % 15 AS user_id, "
+            f"t0.t0 + to_seconds(CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT) * 60) AS ts, "
+            f"{mixer.rms_expr('tokens', spark=False)} AS value, "
+            f"CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT) AS event_id "
+            f"FROM tokseq CROSS JOIN t0), "
+            f"std AS (SELECT user_id, ts, value FROM ("
+            f"  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn FROM st"
+            f") WHERE rn = 1), "
+            f"pr AS (SELECT user_id, event_id, ts FROM events WHERE {_PROBE_FILTER}) "
+            f"SELECT pr.user_id AS user_id, pr.event_id AS event_id, pr.ts AS ts, "
+            f"std.value AS asof_value, std.ts AS asof_ts "
+            f"FROM pr ASOF LEFT JOIN std ON pr.user_id = std.user_id AND pr.ts >= std.ts"
         ),
         "augment": (
             f"{_tok_cte()} SELECT doc_id, "

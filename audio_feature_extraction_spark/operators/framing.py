@@ -66,6 +66,101 @@ def frame_table(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
     )
 
 
+def trailing_frames_sql_fragment(spec: FrameSpec = DEFAULT_FRAME) -> str:
+    """W7 causal framing (≙ extract_streaming, design.md:594-609): frame
+    f ENDS at position f*hop (inclusive) and looks back frame_len tokens —
+    zero lookahead, the batch analog of `rowsBetween(-(L-1), 0)`.
+    Early frames are short (only received tokens)."""
+    h, l = spec.hop, spec.frame_len
+    # frame f covers [max(0, f*h+1-l), f*h] in 1-based slice terms
+    return (
+        f"inline(transform(sequence(0, (n_tok-1) div {h}), "
+        f"f -> struct(cast(f as int) as frame_id, "
+        f"slice(tokens, greatest(f*{h}+2-{l}, 1), "
+        f"f*{h}+1 - greatest(f*{h}+2-{l}, 1) + 1) as frame_tokens)))"
+    )
+
+
+def trailing_frame_table(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    return df.where(F.col("n_tok") > 0).select(
+        "doc_id", F.expr(trailing_frames_sql_fragment(spec))
+    )
+
+
+def trailing_frames_oracle_sql(
+    spec: FrameSpec = DEFAULT_FRAME, from_clause: str = "tokseq"
+) -> str:
+    h, l = spec.hop, spec.frame_len
+    lo = f"greatest(g.f*{h}+2-{l}, 1)"
+    return (
+        f"SELECT t.doc_id, CAST(g.f AS INTEGER) AS frame_id, "
+        f"t.tokens[{lo} : g.f*{h}+1] AS frame_tokens "
+        f"FROM {from_clause} t, unnest(range(0, ((t.n_tok-1) // {h}) + 1)) AS g(f) "
+        f"WHERE t.n_tok > 0"
+    )
+
+
+def triangle_weights(l: int) -> list[int]:
+    """W2 window-weighting analog (design.md:537-547 hann taper): integer
+    triangular weights — tapered like hann but exact in integer
+    arithmetic, so weighted histograms stay cross-engine bit-identical."""
+    return [min(i + 1, l - 1 - i) for i in range(l - 1)]
+
+
+def weighted_counts_sql(spec: FrameSpec, ft: str, spark: bool) -> str:
+    """Weighted bigram histogram: bigram at in-frame offset i contributes
+    weight w[i] (triangle). Integer sums — exact."""
+    nb, m = spec.n_buckets, spec.bigram_mult
+    w = triangle_weights(spec.frame_len)
+    warr = ("array(" if spark else "list_value(") + ", ".join(map(str, w)) + ")"
+    if spark:
+        return (
+            f"transform(sequence(0, {nb - 1}), b -> aggregate("
+            f"filter(sequence(1, size({ft})), i -> i < size({ft}) and "
+            f"(element_at({ft}, cast(i as int))*{m} + element_at({ft}, cast(i+1 as int))) % {nb} = b), "
+            f"0L, (acc, i) -> acc + element_at({warr}, cast(i as int))))"
+        )
+    return (
+        f"list_transform(range(0, {nb}), b -> CAST(coalesce(list_sum(list_transform("
+        f"list_filter(range(1, len({ft})), i -> ({ft}[i]*{m} + {ft}[i+1]) % {nb} = b), "
+        f"i -> ({warr})[i])), 0) AS BIGINT))"
+    )
+
+
+def frame_features_weighted_sql(
+    df: DataFrame, spec: FrameSpec = DEFAULT_FRAME
+) -> DataFrame:
+    """dB-scaled *weighted* histogram features (W2 tapered window)."""
+    counts = weighted_counts_sql(spec, "frame_tokens", spark=True)
+    return frame_table(df, spec).selectExpr(
+        "doc_id",
+        "frame_id",
+        f"{_db_sql(spec, counts, spark=True)} as features",
+    )
+
+
+def frame_features_weighted_oracle_sql(
+    spec: FrameSpec = DEFAULT_FRAME, frames_from: str = "frames"
+) -> str:
+    counts = weighted_counts_sql(spec, "frame_tokens", spark=False)
+    return (
+        f"SELECT doc_id, frame_id, {_db_sql(spec, counts, spark=False)} AS features "
+        f"FROM {frames_from}"
+    )
+
+
+def dataset_summary(features: DataFrame) -> DataFrame:
+    """A6 dataset-level invariants (≙ common-params attrs,
+    design.md:1398-1407): one row of counts + consistency checks."""
+    return features.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_frames"),
+        F.countDistinct(F.size("features")).alias("n_feature_widths"),
+        F.min(F.size("features")).alias("feature_width"),
+        F.max("frame_id").alias("max_frame_id"),
+    )
+
+
 def frames_oracle_sql(spec: FrameSpec = DEFAULT_FRAME, from_clause: str = "tokseq") -> str:
     """DuckDB SQL producing the identical frame table (lateral unnest)."""
     h, l = spec.hop, spec.frame_len

@@ -102,6 +102,21 @@ def write_dataset(
     if split_col is not None:
         writer = writer.partitionBy(split_col)
     writer.parquet(out_dir)
+    # JSON sidecar (S8, requirements.md:65-69) — the HDF5-attrs analog as
+    # a single dataset-level manifest file
+    import json
+    import os
+
+    sidecar = {
+        "format": fmt,
+        "frame_len": frame_len,
+        "hop": hop,
+        "n_channels": {"complex": 2, "magnitude_phase": 2,
+                       "magnitude_phase_trig": 3, "magnitude_only": 1}[fmt],
+        "schema": out.schema.jsonValue(),
+    }
+    with open(os.path.join(out_dir, "_dataset_metadata.json"), "w") as f:
+        json.dump(sidecar, f, indent=2)
 
 
 def with_sample_keys(df: DataFrame, order_cols: list[str]) -> DataFrame:
