@@ -1,0 +1,171 @@
+"""Command-line entry points (≙ reference CLI, design.md:2440-2456:
+``extract`` and ``reconstruct``; plus mix / split / profile).
+
+Usage (also the spark-submit payload — scripts/run_spark_submit.sh):
+
+    python -m audio_feature_extraction_spark.cli extract \
+        --input /root/testdata/sf0.001 --output /tmp/out [--config cfg.yaml]
+    python -m audio_feature_extraction_spark.cli reconstruct \
+        --input /root/testdata/sf0.001 --output /tmp/rec
+    python -m audio_feature_extraction_spark.cli mix --input ... --snr 10
+    python -m audio_feature_extraction_spark.cli split --input ... --output ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.core.pipeline_config import PipelineConfig
+from audio_feature_extraction_spark.core.session import get_spark
+from audio_feature_extraction_spark.functions.registry import default_registry
+from audio_feature_extraction_spark.operators import (
+    framing,
+    inverse,
+    mixer,
+    preprocess,
+    split as split_op,
+    textstats,
+    validate,
+)
+from audio_feature_extraction_spark.sinks import writers
+from audio_feature_extraction_spark.sources.tokens import load_token_sequences
+
+
+def _load(spark, args, cfg: PipelineConfig):
+    ts = load_token_sequences(spark, args.input)
+    valid, bad = validate.validate_token_sequences(ts)
+    n_bad = bad.count()
+    if n_bad:
+        print(f"warning: {n_bad} invalid rows dropped", file=sys.stderr)
+    p = cfg.preprocess
+    if p.trim_threshold is not None or p.target_length is not None:
+        valid = preprocess.process(
+            valid, p.trim_threshold, p.target_length, p.pad_mode, p.pad_value
+        )
+    return valid
+
+
+def cmd_extract(args) -> int:
+    cfg = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
+    spark = get_spark(app_name="afes-extract")
+    ts = _load(spark, args, cfg)
+    if args.channels:
+        # channel-layout dataset (≙ HDF5 writer path, 4 formats)
+        feats = framing.frame_features(ts, cfg.frame)
+        split_col = None
+        if args.split:
+            feats = split_op.assign_split(feats, "doc_id")
+            split_col = "split"
+        writers.write_dataset(
+            feats,
+            args.output,
+            fmt=cfg.writer.format,
+            split_col=split_col,
+            frame_len=cfg.frame.frame_len,
+            hop=cfg.frame.hop,
+        )
+    else:
+        out = default_registry().get(cfg.extractor, cfg.frame)(ts)
+        w = out.write.mode("overwrite")
+        if args.split:
+            out = split_op.assign_split(out, "doc_id")
+            w = out.write.mode("overwrite").partitionBy("split")
+        w.parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"command": "extract", "rows": n, "output": args.output}))
+    spark.stop()
+    return 0
+
+
+def cmd_reconstruct(args) -> int:
+    cfg = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
+    spark = get_spark(app_name="afes-reconstruct")
+    ts = load_token_sequences(spark, args.input)
+    frames = framing.frame_table(ts, cfg.frame)
+    rec = inverse.reconstruct(frames, cfg.frame)
+    rec.write.mode("overwrite").parquet(args.output)
+    checked = inverse.roundtrip_check(ts, frames, cfg.frame)
+    n_bad = checked.where(~F.col("ok")).count()
+    n = checked.count()
+    print(json.dumps({"command": "reconstruct", "docs": n, "mismatches": n_bad}))
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+def cmd_mix(args) -> int:
+    spark = get_spark(app_name="afes-mix")
+    ts = load_token_sequences(spark, args.input)
+    num = F.regexp_replace("doc_id", "[^0-9]", "").cast("bigint")
+    paired = mixer.pair_clean_noise(ts.where(num % 2 == 0), ts.where(num % 2 == 1))
+    out = mixer.mix_with_snr(paired, snr_db=args.snr)
+    out.select("doc_id", "noise_doc_id", "gain", "mixed").write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(json.dumps({"command": "mix", "rows": out.count(), "snr_db": args.snr}))
+    spark.stop()
+    return 0
+
+
+def cmd_split(args) -> int:
+    spark = get_spark(app_name="afes-split")
+    ts = load_token_sequences(spark, args.input)
+    out = split_op.assign_split(ts, "doc_id")
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    print(json.dumps({"command": "split", "counts": counts}))
+    spark.stop()
+    return 0
+
+
+def cmd_profile(args) -> int:
+    spark = get_spark(app_name="afes-profile")
+    docs = spark.read.parquet(f"{args.input}/documents.parquet")
+    out = textstats.text_profile(docs)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"command": "profile", "rows": out.count()}))
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="audio_feature_extraction_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", required=True, help="sf dir with documents.parquet")
+        sp.add_argument("--output", required=True)
+        sp.add_argument("--config", default=None, help="YAML pipeline config")
+
+    sp = sub.add_parser("extract", help="token table -> frame-feature dataset")
+    common(sp)
+    sp.add_argument("--channels", action="store_true", help="write 4-layout channels")
+    sp.add_argument("--split", action="store_true", help="partition by train/val/test")
+    sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("reconstruct", help="frames -> exact token arrays")
+    common(sp)
+    sp.set_defaults(fn=cmd_reconstruct)
+
+    sp = sub.add_parser("mix", help="SNR-controlled clean x noise mixing")
+    common(sp)
+    sp.add_argument("--snr", type=float, default=10.0)
+    sp.set_defaults(fn=cmd_mix)
+
+    sp = sub.add_parser("split", help="deterministic train/val/test split")
+    common(sp)
+    sp.set_defaults(fn=cmd_split)
+
+    sp = sub.add_parser("profile", help="text quality/langid profile")
+    common(sp)
+    sp.set_defaults(fn=cmd_profile)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,54 @@
+"""CLI surface (≙ reference CLI design.md:2440-2456) + YAML config."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from audio_feature_extraction_spark.core.pipeline_config import PipelineConfig
+
+
+def test_config_from_yaml(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "frame:\n  frame_len: 8\n  hop: 4\n"
+        "preprocess:\n  target_length: 32\n  pad_mode: reflect\n"
+        "writer:\n  format: magnitude_only\n"
+        "extractor: mel\n"
+    )
+    cfg = PipelineConfig.from_yaml(str(p))
+    assert cfg.frame.frame_len == 8 and cfg.frame.hop == 4
+    assert cfg.preprocess.pad_mode == "reflect"
+    assert cfg.writer.format == "magnitude_only"
+    assert cfg.extractor == "mel"
+
+
+def test_config_rejects_bad_frame():
+    with pytest.raises(ValueError):
+        PipelineConfig.from_dict({"frame": {"frame_len": 4, "hop": 8}})
+
+
+@pytest.mark.slow
+def test_cli_extract_and_reconstruct(tmp_path):
+    """Real process, real CLI — extract then exact reconstruct."""
+    out = subprocess.run(
+        [sys.executable, "-m", "audio_feature_extraction_spark.cli", "extract",
+         "--input", "/root/testdata/sf0.001", "--output", str(tmp_path / "ds"),
+         "--split"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["rows"] > 0
+
+    out2 = subprocess.run(
+        [sys.executable, "-m", "audio_feature_extraction_spark.cli", "reconstruct",
+         "--input", "/root/testdata/sf0.001", "--output", str(tmp_path / "rec")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-500:]
+    rep2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert rep2["mismatches"] == 0 and rep2["docs"] == 500
