@@ -219,6 +219,75 @@ def lsh_topk_oracle_sql(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer -> inverted lists; queries
+    probe their ``nprobe`` nearest centroids and scan only those lists.
+
+    The scale path when data has cluster structure: candidate volume is
+    ~nprobe/n_lists of the table, shuffled by list id. Centroids are fit
+    on a seeded sample driver-side (tiny k), broadcast everywhere —
+    exactly how production IVF indexes ship their codebooks.
+    (No SQL oracle: KMeans is iterative — driver records rows-only.)
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = emb.withColumn("_v", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
+    model = km.fit(with_vec.select("_v"))
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    lists = model.transform(with_vec).select(id_col, vec_col, "_list")
+
+    # queries probe the nprobe nearest centroids (tiny cross join with a
+    # literal centroid table, then rank)
+    centers_df = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)], "_list int, _center array<double>"
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qd = q.crossJoin(centers_df).withColumn(
+        "_dist",
+        F.expr(
+            "aggregate(zip_with(qvec, _center, (a, b) -> (cast(a as double) - b) "
+            "* (cast(a as double) - b)), cast(0.0 as double), (s, x) -> s + x)"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy("_dist", "_list")
+    probes = (
+        qd.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "qvec", "_list")
+    )
+
+    cands = lists.join(probes, "_list").where(F.col("query_id") != F.col(id_col))
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(cosine_expr(vec_col, "qvec", spark=True)).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

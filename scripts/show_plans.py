@@ -1,0 +1,51 @@
+"""Dump `.explain("formatted")` for the headline queries — the plans we
+ship ARE the design; this script makes them reviewable at a glance.
+
+    python scripts/show_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from audio_feature_extraction_spark.core.config import FrameSpec  # noqa: E402
+from audio_feature_extraction_spark.core.session import get_spark  # noqa: E402
+from audio_feature_extraction_spark.operators import (  # noqa: E402
+    asof, framing, inverse, sessionize,
+)
+from audio_feature_extraction_spark.sources.tokens import (  # noqa: E402
+    load_token_sequences,
+)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("local[4]")
+    spec = FrameSpec(16, 8)
+    ts = load_token_sequences(spark, sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    plans = {
+        "frame_features (flagship, shuffle-free)": framing.frame_features_flat(ts, spec),
+        "frame_table (pure Catalyst)": framing.frame_table(ts, spec),
+        "reconstruct (single shuffle)": inverse.reconstruct(
+            framing.frame_table(ts, spec), spec
+        ),
+        "asof_join (single exchange)": asof.asof_join(
+            ev.where(F.col("event_type") == "view"),
+            ev.where(F.col("event_type").isin("click", "purchase")),
+        ),
+        "sessionize": sessionize.session_summary(ev),
+    }
+    for name, df in plans.items():
+        print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
+        df.explain("formatted")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,23 @@ def test_ann_lsh_subset_of_bucket_and_reasonable_recall(spark):
     assert hits / max(len(top1_lsh), 1) > 0.3
 
 
+def test_ann_ivf_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 30)
+    brute = {
+        r.query_id: r.neighbor_id
+        for r in similarity.brute_force_topk(emb, q, k=1).collect()
+    }
+    ivf = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ivf_topk(emb, q, k=1, n_lists=16, nprobe=4).collect()
+    }
+    hits = sum(1 for k_, v in ivf.items() if brute.get(k_) == v)
+    # nprobe/n_lists = 1/4 of the table scanned; random data is the
+    # worst case for IVF — still expect a solid fraction of exact top-1s
+    assert hits / len(ivf) > 0.4
+
+
 def test_text_profile_signals(spark):
     docs = spark.createDataFrame(
         [(1, "the cat and the dog, in a house.", "en", "s", 32)],
