@@ -38,7 +38,7 @@ def run_queries(parallelism: int, amplify: int = AMPLIFY) -> dict:
     from audio_feature_extraction_spark.core.session import get_spark
     from audio_feature_extraction_spark.core.config import FrameSpec
     from audio_feature_extraction_spark.operators import (
-        asof, framing, inverse, sessionize, temporal,
+        asof, dedup, framing, inverse, sessionize, similarity, temporal,
     )
     from audio_feature_extraction_spark.sources.tokens import load_token_sequences
 
@@ -65,8 +65,33 @@ def run_queries(parallelism: int, amplify: int = AMPLIFY) -> dict:
     amplified = spark.read.parquet(amp_path)
     n_seq = amplified.count()
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    ev.count()  # warm file metadata
+    # amplified events: EV_AMP replicas, distinct users/event_ids, with a
+    # deliberate hot entity (user_id 0 keeps ~1/16 of all rows) for the
+    # skew benchmarks
+    ev_amp_n = int(os.environ.get("SPARK_GRAFT_EV_AMPLIFY", "50"))
+    ev_path = f"/tmp/bench_events_{sf_tag}_x{ev_amp_n}"
+    if not os.path.exists(os.path.join(ev_path, "_SUCCESS")):
+        ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        (
+            ev0.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(ev_amp_n - 1)))
+            )
+            .select(
+                (F.col("event_id") * ev_amp_n + F.col("rep")).alias("event_id"),
+                F.expr("timestampadd(SECOND, rep, ts)").alias("ts"),
+                F.when(F.col("rep") % 16 == 0, F.lit(0))
+                .otherwise(F.col("user_id") + F.col("rep") * 100)
+                .alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(ev_path)
+        )
+    ev = spark.read.parquet(ev_path)
+    n_events = ev.count()
 
     # warmup: spawn every Python UDF worker, JIT the kernel, warm the
     # page cache with one full identity pass
@@ -94,14 +119,12 @@ def run_queries(parallelism: int, amplify: int = AMPLIFY) -> dict:
             inverse.roundtrip_check(amplified, framing.frame_table(amplified, spec), spec)
         ),
     )
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type").isin("click", "purchase"))
+    timed("asof_join", lambda: _noop(asof.asof_join(probes, states)))
     timed(
-        "asof_join",
-        lambda: _noop(
-            asof.asof_join(
-                ev.where(F.col("event_type") == "view"),
-                ev.where(F.col("event_type").isin("click", "purchase")),
-            )
-        ),
+        "asof_join_bucketed",
+        lambda: _noop(asof.asof_join_bucketed(probes, states, 86400.0)),
     )
     timed("sessionize", lambda: _noop(sessionize.session_summary(ev, 1800.0)))
     timed(
@@ -115,6 +138,19 @@ def run_queries(parallelism: int, amplify: int = AMPLIFY) -> dict:
             )
         ),
     )
+    timed(
+        "minhash_lsh_pairs",
+        lambda: _noop(dedup.lsh_candidate_pairs(amplified)),
+        reps=1,
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed(
+        "ann_lsh",
+        lambda: _noop(
+            similarity.lsh_topk(emb, emb.where(F.expr("vec_id % 20 = 0")), k=5)
+        ),
+        reps=1,
+    )
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "e2e_wall_sec",
@@ -124,6 +160,7 @@ def run_queries(parallelism: int, amplify: int = AMPLIFY) -> dict:
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "parallelism": parallelism,
         "n_sequences": n_seq,
+        "n_events": n_events,
         "seq_per_sec": round(n_seq / timings["frame_features"], 1),
     }
     spark.stop()
