@@ -86,10 +86,20 @@ def write_dataset(
     mode: str = "overwrite",
     frame_len: int = 16,
     hop: int = 8,
+    store_tokens: bool = True,
 ) -> None:
     """≙ HDF5DatasetWriter.write (design.md:1301-1407): channels + a
-    metadata sidecar (reconstruction params as JSON — HDF5-attr analog)."""
+    metadata sidecar (reconstruction params as JSON — HDF5-attr analog).
+
+    ``store_tokens=True`` keeps ``frame_tokens`` in the dataset so the
+    exact inverse runs from the written files alone — the reference's
+    "full reconstruction metadata" contract (design.md:1601-1622)."""
     ch = create_channels(features, fmt)
+    if store_tokens and "frame_tokens" in features.columns:
+        ch = ch.join(
+            features.select("doc_id", "frame_id", "frame_tokens"),
+            ["doc_id", "frame_id"],
+        )
     meta = F.to_json(
         F.struct(
             F.lit(fmt).alias("format"),
@@ -117,6 +127,28 @@ def write_dataset(
     }
     with open(os.path.join(out_dir, "_dataset_metadata.json"), "w") as f:
         json.dump(sidecar, f, indent=2)
+
+
+def reconstruct_from_dataset(spark, dataset_dir: str) -> DataFrame:
+    """≙ AudioReconstructor.reconstruct_from_dataset (design.md:1581-1631):
+    read the written dataset, recover frame params from its metadata,
+    and run the exact inverse — no access to the original table needed."""
+    import json
+    import os
+
+    from audio_feature_extraction_spark.core.config import FrameSpec
+    from audio_feature_extraction_spark.operators import inverse
+
+    with open(os.path.join(dataset_dir, "_dataset_metadata.json")) as f:
+        meta = json.load(f)
+    spec = FrameSpec(frame_len=meta["frame_len"], hop=meta["hop"])
+    ds = spark.read.parquet(dataset_dir)
+    if "frame_tokens" not in ds.columns:
+        raise ValueError(
+            "dataset was written with store_tokens=False — exact "
+            "reconstruction requires frame_tokens"
+        )
+    return inverse.reconstruct(ds.select("doc_id", "frame_id", "frame_tokens"), spec)
 
 
 def with_sample_keys(df: DataFrame, order_cols: list[str]) -> DataFrame:

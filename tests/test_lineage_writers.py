@@ -108,6 +108,21 @@ def test_trig_layout_phase_recoverable(spark, tmp_path):
         assert min(diff, 2 * math.pi - diff) < 1e-9
 
 
+def test_reconstruct_from_written_dataset(spark, tmp_path):
+    """Write dataset -> reconstruct from files alone -> exact originals
+    (design.md:1581-1631: dataset carries full reconstruction metadata)."""
+    df = _mkdf(spark, 6)
+    feats = _features(df)
+    out = str(tmp_path / "ds_rt")
+    writers.write_dataset(feats, out, fmt="magnitude_phase_trig")
+    rec = {
+        r.doc_id: list(r.tokens)
+        for r in writers.reconstruct_from_dataset(spark, out).collect()
+    }
+    for r in df.collect():
+        assert rec[r.doc_id] == list(r.tokens)
+
+
 def test_incremental_append_keys(spark, tmp_path):
     out = str(tmp_path / "ds")
     a = spark.createDataFrame([(1,), (2,)], "v int")
