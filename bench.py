@@ -31,7 +31,7 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_queries(parallelism: int, amplify: int = AMPLIFY) -> dict:
+def run_queries(parallelism: int, amplify: int = AMPLIFY, core_only: bool = False) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
@@ -138,19 +138,20 @@ def run_queries(parallelism: int, amplify: int = AMPLIFY) -> dict:
             )
         ),
     )
-    timed(
-        "minhash_lsh_pairs",
-        lambda: _noop(dedup.lsh_candidate_pairs(amplified)),
-        reps=1,
-    )
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    timed(
-        "ann_lsh",
-        lambda: _noop(
-            similarity.lsh_topk(emb, emb.where(F.expr("vec_id % 20 = 0")), k=5)
-        ),
-        reps=1,
-    )
+    if not core_only:
+        timed(
+            "minhash_lsh_pairs",
+            lambda: _noop(dedup.lsh_candidate_pairs(amplified)),
+            reps=1,
+        )
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        timed(
+            "ann_lsh",
+            lambda: _noop(
+                similarity.lsh_topk(emb, emb.where(F.expr("vec_id % 20 = 0")), k=5)
+            ),
+            reps=1,
+        )
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "e2e_wall_sec",
@@ -184,7 +185,7 @@ def main() -> None:
         for p in (lo, hi):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single", str(p),
-                 "--amplify", str(amp)],
+                 "--amplify", str(amp), "--core"],
                 capture_output=True, text=True, check=True,
             )
             results[p] = json.loads(out.stdout.strip().splitlines()[-1])
@@ -210,7 +211,7 @@ def main() -> None:
             if "--amplify" in sys.argv
             else AMPLIFY
         )
-        print(json.dumps(run_queries(p, amp)))
+        print(json.dumps(run_queries(p, amp, core_only="--core" in sys.argv)))
         return
     print(json.dumps(run_queries(CPUS)))
 
