@@ -184,78 +184,6 @@ def _db_table(spec: FrameSpec, max_count: int) -> np.ndarray:
     )
 
 
-def featurize_tokens(tokens: np.ndarray, spec: FrameSpec) -> tuple:
-    """Vectorized per-document kernel.
-
-    Returns (frame_ids, frame_token_slices, features_db, stats_tuple) for
-    one document. O(n_tok * n_buckets) via prefix-sum histograms — no
-    per-frame Python loop on the hot path.
-    """
-    n = len(tokens)
-    h, l, nb = spec.hop, spec.frame_len, spec.n_buckets
-    n_frames = (n - 1) // h + 1
-    t = tokens.astype(np.int64)
-    starts = np.arange(n_frames, dtype=np.int64) * h
-    ends = np.minimum(starts + l, n)  # frame f covers [start, end)
-
-    # --- bigram-bucket histogram per frame via prefix sums -----------------
-    # bigram i joins positions (i, i+1); frame covers bigrams [start, end-1)
-    counts = np.zeros((n_frames, nb), dtype=np.int64)
-    if n >= 2:
-        bh = ((t[:-1] * spec.bigram_mult + t[1:]) % nb).astype(np.int64)
-        onehot = np.zeros((n - 1, nb), dtype=np.int64)
-        onehot[np.arange(n - 1), bh] = 1
-        csum = np.concatenate(
-            [np.zeros((1, nb), dtype=np.int64), np.cumsum(onehot, axis=0)]
-        )  # csum[i] = histogram of bigrams [0, i)
-        b_lo = starts
-        b_hi = np.maximum(ends - 1, starts)  # bigrams in [start, end-1)
-        counts = csum[b_hi] - csum[b_lo]
-
-    # --- dB scale via libm lookup table ------------------------------------
-    dbt = _db_table(spec, int(counts.max(initial=0)))
-    db = dbt[counts]
-    floor = dbt[counts.max(axis=1)] - spec.top_db
-    db = np.maximum(db, floor[:, None])
-
-    # --- per-frame token stats via exact integer prefix sums ---------------
-    cs1 = np.concatenate([[0], np.cumsum(t)])
-    cs2 = np.concatenate([[0], np.cumsum(t * t)])
-    lens = (ends - starts).astype(np.float64)
-    s1 = (cs1[ends] - cs1[starts]).astype(np.float64)
-    s2 = (cs2[ends] - cs2[starts]).astype(np.float64)
-    mean = s1 / lens
-    var = s2 / lens - mean * mean
-    std = np.sqrt(np.maximum(var, 0.0))
-
-    # min / max / distinct: full frames vectorized via stride tricks,
-    # ragged tail frames (at most ceil(l/h) of them) individually
-    mn = np.empty(n_frames, dtype=np.int64)
-    mx = np.empty(n_frames, dtype=np.int64)
-    nd = np.empty(n_frames, dtype=np.int64)
-    full = ends - starts == l
-    if full.any() and n >= l:
-        w = np.lib.stride_tricks.sliding_window_view(t, l)[starts[full]]
-        mn[full] = w.min(axis=1)
-        mx[full] = w.max(axis=1)
-        sw = np.sort(w, axis=1)
-        nd[full] = (np.diff(sw, axis=1) != 0).sum(axis=1) + 1
-    for f in np.nonzero(~full)[0]:
-        seg = t[starts[f] : ends[f]]
-        mn[f] = seg.min()
-        mx[f] = seg.max()
-        nd[f] = len(np.unique(seg))
-    distinct_ratio = nd / lens
-
-    frame_tokens = [t[s:e].astype(np.int32) for s, e in zip(starts, ends)]
-    return (
-        np.arange(n_frames, dtype=np.int32),
-        frame_tokens,
-        db,
-        (mean, std, mn, mx, distinct_ratio),
-    )
-
-
 def featurize_batch(
     doc_ids: np.ndarray, tok_arrays: list[np.ndarray], spec: FrameSpec
 ) -> pd.DataFrame:

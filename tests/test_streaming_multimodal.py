@@ -98,6 +98,53 @@ def test_stateful_streaming_carries_state(spark, tmp_path):
     ]
 
 
+def test_session_window_matches_sessionize(spark):
+    """Native session_window (streaming twin) agrees with the cumsum
+    sessionize on session boundaries and per-session counts."""
+    import datetime as dt
+
+    from audio_feature_extraction_spark.core.schemas import EVENTS
+    from audio_feature_extraction_spark.operators import sessionize as sz
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, T0 + dt.timedelta(minutes=m), 1, "click", 1.0, None)
+        for i, m in enumerate([0, 10, 50, 55, 200])
+    ]
+    rows = [(i + 1, r[1], r[2], r[3], r[4], r[5]) for i, r in enumerate(rows)]
+    rows.append((6, T0, 2, "click", 1.0, None))
+    ev = spark.createDataFrame(rows, schema=EVENTS)
+
+    batch_sessions = {
+        (r.user_id, r.session_id): r.n_events
+        for r in sz.session_summary(ev, 1800.0).collect()
+    }
+    # session_window also runs in batch mode (no watermark needed)
+    from pyspark.sql import functions as F
+
+    sw = (
+        ev.groupBy("user_id", F.session_window("ts", "1800 seconds"))
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    native = sorted((r.user_id, r.n_events) for r in sw)
+    cumsum = sorted((uid, n) for (uid, _), n in batch_sessions.items())
+    assert native == cumsum  # same sessions, same sizes
+
+
+def test_latency_stats():
+    from audio_feature_extraction_spark.plans.metrics import LatencyStats
+
+    s = LatencyStats(window=3, budget_ms=100.0)
+    for ms in (50, 150, 60, 70, 80):
+        s.record(ms)
+    rep = s.report()
+    assert rep["n"] == 5
+    assert rep["violations"] == 1
+    assert rep["window_max_ms"] == 80  # window holds last 3 only
+    assert abs(rep["window_avg_ms"] - 70.0) < 1e-9
+
+
 def test_media_features_deterministic(spark):
     media = binary.synthetic_media(spark, 9)
     out1 = {
