@@ -133,6 +133,21 @@ def test_sessionize(spark):
     assert [got[r[0]] for r in rows] == orc
 
 
+def test_asof_struct_valued_state(spark, events):
+    """Feature ROWS (struct of several values) carry through the as-of —
+    the feature-store shape where each state is a whole vector."""
+    states = events.where(F.col("event_type").isin("click", "purchase")).withColumn(
+        "feature_row", F.struct(F.col("value"), (F.col("value") * 2).alias("v2"))
+    )
+    probes = events.where(F.col("event_type") == "view")
+    out = {
+        r.event_id: r.asof_value
+        for r in asof.asof_join(probes, states, value_col="feature_row").collect()
+    }
+    assert out[2].value == 10.0 and out[2].v2 == 20.0
+    assert out[9] is None
+
+
 def test_rolling_causal(spark, events):
     out = temporal.rolling_stats(events, k=1).collect()
     by_id = {r.event_id: r for r in out}
