@@ -290,6 +290,11 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(docs)
 
 
+def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.prefix_dup_groups(docs, 40)
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load_token_sequences(spark, sf_dir))
 
@@ -374,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_snr": q_mix_snr,
         "rms": q_rms,
         "exact_dup_groups": q_exact_dup_groups,
+        "prefix_dup_groups": q_prefix_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -496,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "trim_normalize": trim_sql,
         "mix_snr": mix_sql,
         "exact_dup_groups": dedup.exact_dup_oracle_sql(),
+        "prefix_dup_groups": dedup.prefix_dup_oracle_sql(40),
         "minhash_signatures": (
             f"{_tok_cte()} {dedup.minhash_signatures_oracle_sql()}"
         ),

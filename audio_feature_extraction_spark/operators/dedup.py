@@ -62,6 +62,28 @@ def exact_dup_oracle_sql(from_clause: str = "documents") -> str:
     )
 
 
+def prefix_dup_groups(
+    docs: DataFrame, prefix_len: int = 40, text_col: str = "text"
+) -> DataFrame:
+    """Near-exact dedup by content prefix (catches boilerplate/templated
+    docs that diverge late — a standard web-corpus pass)."""
+    h = F.md5(F.substring(F.col(text_col), 1, prefix_len))
+    return (
+        docs.select(h.alias("prefix_hash"), "doc_id")
+        .groupBy("prefix_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def prefix_dup_oracle_sql(prefix_len: int = 40, from_clause: str = "documents") -> str:
+    return (
+        f"SELECT md5(substr(text, 1, {prefix_len})) AS prefix_hash, "
+        f"count(*) AS n_docs, min(doc_id) AS keep_doc_id FROM {from_clause} "
+        f"GROUP BY 1 HAVING count(*) > 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles (token bigrams) — shared by MinHash / Jaccard
 # ---------------------------------------------------------------------------
