@@ -106,6 +106,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 6-hour staleness TTL (feature-store max-age)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof.asof_join(
+        ev.where(F.expr(_PROBE_FILTER)),
+        ev.where(F.expr(_STATE_FILTER)),
+        max_staleness_seconds=21600.0,
+    ).select("user_id", "event_id", "ts", "asof_value", "asof_ts")
+
+
 def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     masked = ev.withColumn(
@@ -368,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_features_sql": q_frame_features_sql,
         "roundtrip": q_roundtrip,
         "asof_join": q_asof_join,
+        "asof_join_ttl": q_asof_join_ttl,
         "backfill": q_backfill,
         "deltas": q_deltas,
         "rolling": q_rolling,
@@ -483,6 +494,14 @@ def oracle_sql() -> dict[str, str]:
         "frame_features_sql": frame_feat_sql,
         "roundtrip": roundtrip_sql,
         "asof_join": asof.asof_oracle_sql(_PROBE_FILTER, _STATE_FILTER),
+        "asof_join_ttl": (
+            f"WITH base AS ({asof.asof_oracle_sql(_PROBE_FILTER, _STATE_FILTER)}) "
+            f"SELECT user_id, event_id, ts, "
+            f"CASE WHEN epoch_us(ts) - epoch_us(asof_ts) <= 21600000000 "
+            f"THEN asof_value END AS asof_value, "
+            f"CASE WHEN epoch_us(ts) - epoch_us(asof_ts) <= 21600000000 "
+            f"THEN asof_ts END AS asof_ts FROM base"
+        ),
         "backfill": backfill_sql,
         "deltas": (
             "SELECT event_id, user_id, ts, value, delta, "

@@ -39,10 +39,15 @@ def asof_join(
     value_col: str = "value",
     seq_col: str = "event_id",
     strict: bool = False,
+    max_staleness_seconds: float | None = None,
 ) -> DataFrame:
     """Point-in-time join: probes gain ``asof_value`` / ``asof_ts`` from the
     latest state at-or-before (``strict=False``) or strictly-before their
     timestamp. Probes with no prior state keep nulls.
+
+    ``max_staleness_seconds`` is the feature-store TTL: a carried state
+    older than the TTL at probe time is treated as absent (both columns
+    null) — stale features are leakage of a different kind.
     """
     # no pre-dedupe needed: the carry-forward window orders states by
     # (ts, tag, seq), so among equal-ts states the max-seq row is the last
@@ -90,7 +95,17 @@ def asof_join(
         "asof_value", F.last("_sv", ignorenulls=True).over(w)
     ).withColumn("asof_ts", F.last("_sts", ignorenulls=True).over(w))
 
-    return carried.where(F.col("_is_probe")).select(
+    out = carried.where(F.col("_is_probe"))
+    if max_staleness_seconds is not None:
+        ttl_us = int(max_staleness_seconds * 1_000_000)
+        fresh = (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ) <= F.lit(ttl_us)
+        out = out.withColumn(
+            "asof_value", F.when(fresh, F.col("asof_value"))
+        ).withColumn("asof_ts", F.when(fresh, F.col("asof_ts")))
+    return out.select(
         F.col(entity),
         F.col("_seq").alias(seq_col),
         F.col(ts_col),

@@ -112,6 +112,23 @@ def test_reconstruct_single_shuffle(spark):
     assert _n_exchanges(rec) == 1
 
 
+def test_split_write_prunes_partitions(spark, tmp_path):
+    """partitionBy('split') datasets prune on read — filter shows up as a
+    PartitionFilter, and only one split directory is scanned."""
+    from audio_feature_extraction_spark.operators import split as split_op
+
+    ts = load_token_sequences(spark, SF).limit(50)
+    out = split_op.assign_split(ts, "doc_id")
+    path = str(tmp_path / "pruned")
+    out.write.partitionBy("split").parquet(path)
+    back = spark.read.parquet(path).where(F.col("split") == "train")
+    plan = _plan(back)
+    # the split predicate lands in PartitionFilters (directory pruning),
+    # not in the row-level PushedFilters
+    pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "train" in pf
+
+
 def test_params_join_broadcasts(spark):
     frames = framing.frame_table(load_token_sequences(spark, SF), SPEC)
     params = frames.sparkSession.createDataFrame(
