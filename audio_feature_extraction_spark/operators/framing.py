@@ -416,20 +416,27 @@ def stats_sql_fields(ft: str, spark: bool) -> dict[str, str]:
     }
 
 
-def frame_features_sql(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
-    """Pure-Spark-SQL formulation (no Python) — oracle twin of
-    ``frame_features``; also the fallback path if Arrow is unavailable."""
+def featurize_frames_sql(frames: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    """Featurize an existing frame table (pure SQL) — used by the batch
+    oracle twin AND the streaming foreachBatch sink (frames arrive from
+    the stateful buffer, features computed per micro-batch)."""
     ft = "frame_tokens"
     counts = _counts_sql(spec, ft, spark=True)
     st = stats_sql_fields(ft, spark=True)
     stats = ", ".join(f"{v} as {k}" for k, v in st.items())
-    return frame_table(df, spec).selectExpr(
+    return frames.selectExpr(
         "doc_id",
         "frame_id",
         "frame_tokens",
         f"{_db_sql(spec, counts, spark=True)} as features",
         f"struct({stats}) as stats",
     )
+
+
+def frame_features_sql(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    """Pure-Spark-SQL formulation (no Python) — oracle twin of
+    ``frame_features``; also the fallback path if Arrow is unavailable."""
+    return featurize_frames_sql(frame_table(df, spec), spec)
 
 
 def frame_features_oracle_sql(

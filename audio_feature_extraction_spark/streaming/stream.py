@@ -149,6 +149,35 @@ def chunk_table(tokseq: DataFrame, chunk_size: int) -> DataFrame:
     )
 
 
+def stream_feature_extract(
+    chunks: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    spec: FrameSpec = DEFAULT_FRAME,
+):
+    """End-to-end streaming extraction (≙ StreamPipelineExecutor,
+    design.md:1811-1846): stateful frame assembly -> per-micro-batch
+    featurization -> append sink, with exactly-once progress via the
+    checkpoint (restart resumes where the last trigger committed —
+    T10 NFR-4.1 on the streaming side).
+    """
+    from audio_feature_extraction_spark.operators.framing import (
+        featurize_frames_sql,
+    )
+
+    frames = stateful_frames(chunks, spec)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        featurize_frames_sql(batch, spec).write.mode("append").parquet(out_dir)
+
+    return (
+        frames.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def session_windows_stream(
     events: DataFrame, gap_seconds: float = 1800.0, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -98,6 +98,62 @@ def test_stateful_streaming_carries_state(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
+def test_stream_extract_with_restart(spark, tmp_path):
+    """Full streaming pipeline across a STOP/RESTART boundary: the
+    checkpoint resumes both the source offset and the buffer state; the
+    final dataset equals batch featurization of the full sequences."""
+    spec = FrameSpec(frame_len=4, hop=2)
+    src = tmp_path / "in"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, stream.CHUNK_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    toks = list(range(200, 214))  # 14 tokens
+    write_batch("b1", [("d", 0, toks[:6])])
+
+    def start():
+        chunks = (
+            spark.readStream.schema(stream.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        return stream.stream_feature_extract(chunks, out, ckpt, spec)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # simulated shutdown mid-stream
+
+    write_batch("b2", [("d", 1, toks[6:])])
+    q = start()  # restart from checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.frame_id: (list(r.frame_tokens), list(r.features))
+        for r in spark.read.parquet(out).collect()
+    }
+    # streaming never flushes the ragged tail (it cannot know the stream
+    # ended) — expect exactly the full frames of the batch grid
+    from audio_feature_extraction_spark.operators import framing
+    from audio_feature_extraction_spark.core.schemas import TOKEN_SEQUENCES
+
+    batch = spark.createDataFrame(
+        [("d", toks, len(toks), "web")], schema=TOKEN_SEQUENCES
+    )
+    exp = {
+        r.frame_id: (list(r.frame_tokens), list(r.features))
+        for r in framing.frame_features_sql(batch, spec).collect()
+        if len(r.frame_tokens) == spec.frame_len
+    }
+    assert got == exp
+    assert len(got) > 2  # frames from both sides of the restart
+
+
 def test_session_window_matches_sessionize(spark):
     """Native session_window (streaming twin) agrees with the cumsum
     sessionize on session boundaries and per-session counts."""
