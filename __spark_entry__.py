@@ -116,6 +116,18 @@ def q_asof_join_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "asof_value", "asof_ts")
 
 
+def q_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two feature sources served to one probe set in a single exchange."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof.asof_join_multi(
+        ev.where(F.expr(_PROBE_FILTER)),
+        {
+            "click": ev.where(F.col("event_type") == "click"),
+            "purchase": ev.where(F.col("event_type") == "purchase"),
+        },
+    )
+
+
 def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     masked = ev.withColumn(
@@ -379,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip": q_roundtrip,
         "asof_join": q_asof_join,
         "asof_join_ttl": q_asof_join_ttl,
+        "asof_multi": q_asof_multi,
         "backfill": q_backfill,
         "deltas": q_deltas,
         "rolling": q_rolling,
@@ -501,6 +514,23 @@ def oracle_sql() -> dict[str, str]:
             f"THEN asof_value END AS asof_value, "
             f"CASE WHEN epoch_us(ts) - epoch_us(asof_ts) <= 21600000000 "
             f"THEN asof_ts END AS asof_ts FROM base"
+        ),
+        "asof_multi": (
+            "WITH pr AS (SELECT user_id, event_id, ts FROM events WHERE "
+            f"{_PROBE_FILTER}), "
+            "ck AS (SELECT user_id, ts, value FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id, ts ORDER BY event_id DESC) rn FROM events "
+            "WHERE event_type = 'click') WHERE rn = 1), "
+            "pu AS (SELECT user_id, ts, value FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id, ts ORDER BY event_id DESC) rn FROM events "
+            "WHERE event_type = 'purchase') WHERE rn = 1), "
+            "j1 AS (SELECT pr.user_id, pr.event_id, pr.ts, ck.value AS asof_click, "
+            "ck.ts AS asof_click_ts FROM pr ASOF LEFT JOIN ck "
+            "ON pr.user_id = ck.user_id AND pr.ts >= ck.ts) "
+            "SELECT j1.user_id AS user_id, j1.event_id AS event_id, j1.ts AS ts, "
+            "j1.asof_click, j1.asof_click_ts, pu.value AS asof_purchase, "
+            "pu.ts AS asof_purchase_ts FROM j1 ASOF LEFT JOIN pu "
+            "ON j1.user_id = pu.user_id AND j1.ts >= pu.ts"
         ),
         "backfill": backfill_sql,
         "deltas": (

@@ -115,6 +115,72 @@ def asof_join(
     )
 
 
+def asof_join_multi(
+    probes: DataFrame,
+    sources: dict[str, DataFrame],
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Multi-source point-in-time join: each probe gets the latest value
+    from EVERY feature source — the feature-store serving shape (N state
+    tables, one probe set).
+
+    All sources union into one stream with a source tag; per-source
+    carry-forward runs as N ``last(when(tag=s, v), ignorenulls)`` over the
+    SAME window — so the whole join is still a single exchange + sort,
+    not N sequential joins. Output: probe keys + ``asof_<name>`` /
+    ``asof_<name>_ts`` per source.
+    """
+    names = list(sources)
+    tagged = []
+    vtype = None
+    for i, name in enumerate(names):
+        st = sources[name].select(
+            F.col(entity),
+            F.col(ts_col),
+            F.lit(0).alias("_tag"),
+            F.col(seq_col).alias("_seq"),
+            F.lit(i).alias("_src"),
+            F.col(value_col).alias("_sv"),
+            F.col(ts_col).alias("_sts"),
+        )
+        vtype = vtype or st.schema["_sv"].dataType
+        tagged.append(st)
+    pr = probes.select(
+        F.col(entity),
+        F.col(ts_col),
+        F.lit(1).alias("_tag"),
+        F.col(seq_col).alias("_seq"),
+        F.lit(None).cast("int").alias("_src"),
+        F.lit(None).cast(vtype).alias("_sv"),
+        F.lit(None).cast("timestamp").alias("_sts"),
+    )
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    u = u.unionByName(pr)
+
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(ts_col, "_tag", "_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u
+    cols = []
+    for i, name in enumerate(names):
+        sv = F.when(F.col("_src") == i, F.col("_sv"))
+        sts = F.when(F.col("_src") == i, F.col("_sts"))
+        out = out.withColumn(
+            f"asof_{name}", F.last(sv, ignorenulls=True).over(w)
+        ).withColumn(f"asof_{name}_ts", F.last(sts, ignorenulls=True).over(w))
+        cols += [f"asof_{name}", f"asof_{name}_ts"]
+    return out.where(F.col("_tag") == 1).select(
+        F.col(entity), F.col("_seq").alias(seq_col), F.col(ts_col), *cols
+    )
+
+
 def asof_join_bucketed(
     probes: DataFrame,
     states: DataFrame,

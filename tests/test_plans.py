@@ -76,6 +76,19 @@ def test_asof_join_single_exchange(spark):
     assert _n_exchanges(out) == 1
 
 
+def test_asof_multi_single_exchange(spark):
+    """N feature sources served in ONE exchange (not N joins)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = asof.asof_join_multi(
+        ev.where(F.col("event_type") == "view"),
+        {
+            "click": ev.where(F.col("event_type") == "click"),
+            "purchase": ev.where(F.col("event_type") == "purchase"),
+        },
+    )
+    assert _n_exchanges(out) == 1
+
+
 def test_temporal_chain_shares_one_exchange(spark):
     """deltas + backfill + rolling over the same entity ordering reuse a
     single exchange (windows share partitioning)."""

@@ -133,6 +133,30 @@ def test_sessionize(spark):
     assert [got[r[0]] for r in rows] == orc
 
 
+def test_asof_multi_matches_single(spark, events):
+    """Multi-source result == two independent single-source as-ofs."""
+    probes = events.where(F.col("event_type") == "view")
+    multi = {
+        r.event_id: (r.asof_click, r.asof_purchase)
+        for r in asof.asof_join_multi(
+            probes,
+            {
+                "click": events.where(F.col("event_type") == "click"),
+                "purchase": events.where(F.col("event_type") == "purchase"),
+            },
+        ).collect()
+    }
+    for name, typ in (("click", "click"), ("purchase", "purchase")):
+        single = {
+            r.event_id: r.asof_value
+            for r in asof.asof_join(
+                probes, events.where(F.col("event_type") == typ)
+            ).collect()
+        }
+        idx = 0 if name == "click" else 1
+        assert {k: v[idx] for k, v in multi.items()} == single
+
+
 def test_asof_struct_valued_state(spark, events):
     """Feature ROWS (struct of several values) carry through the as-of —
     the feature-store shape where each state is a whole vector."""
