@@ -179,6 +179,11 @@ def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.session_summary(ev, gap_seconds=1800.0)
 
 
+def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-axis segmentation: split sequences at rare low tokens."""
+    return sessionize.segment_table(load_token_sequences(spark, sf_dir), 12850)
+
+
 def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
@@ -397,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling": q_rolling,
         "sessionize": q_sessionize,
         "session_summary": q_session_summary,
+        "segments": q_segments,
         "split_counts": q_split_counts,
         "adjust_length": q_adjust_length,
         "trim_normalize": q_trim_normalize,
@@ -546,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
             f"({sessionize.sessionize_oracle_sql(1800.0)})"
         ),
         "session_summary": sessionize.session_summary_oracle_sql(1800.0),
+        "segments": f"{_tok_cte()} {sessionize.segments_oracle_sql(12850)}",
         "split_counts": split.split_oracle_sql("documents", "doc_id"),
         "adjust_length": adjust_sql,
         "trim_normalize": trim_sql,

@@ -70,6 +70,50 @@ def session_summary(
     )
 
 
+def segment_expr(threshold: int, spark: bool, col: str = "tokens") -> str:
+    """Token-axis sessionization (≙ the sub-threshold gap detection in
+    _trim_silence, design.md:837-859, generalized to SPLITTING): cut the
+    sequence at every "separator" token (< threshold), drop separators,
+    emit the non-empty segments in order as array<array<int>>."""
+    if spark:
+        seps = f"filter(sequence(1, size({col})), i -> element_at({col}, cast(i as int)) < {threshold})"
+        bounds = f"concat(array(0), {seps}, array(size({col}) + 1))"
+        segs = (
+            f"transform(sequence(1, size({bounds}) - 1), k -> "
+            f"slice({col}, element_at({bounds}, cast(k as int)) + 1, "
+            f"element_at({bounds}, cast(k + 1 as int)) - element_at({bounds}, cast(k as int)) - 1))"
+        )
+        return f"filter({segs}, s -> size(s) > 0)"
+    seps = f"list_filter(range(1, len({col}) + 1), i -> {col}[i] < {threshold})"
+    bounds = f"list_concat(list_concat([0], {seps}), [len({col}) + 1])"
+    segs = (
+        f"list_transform(range(1, len({bounds})), k -> "
+        f"{col}[({bounds})[k] + 1 : ({bounds})[k + 1] - 1])"
+    )
+    return f"list_filter({segs}, s -> len(s) > 0)"
+
+
+def segment_table(
+    df: DataFrame, threshold: int, col: str = "tokens"
+) -> DataFrame:
+    """Long form: one row per (doc_id, segment_id, segment_tokens)."""
+    return df.selectExpr(
+        "doc_id",
+        f"posexplode({segment_expr(threshold, spark=True, col=col)}) "
+        f"as (segment_id, segment_tokens)",
+    )
+
+
+def segments_oracle_sql(threshold: int, from_clause: str = "tokseq") -> str:
+    segs = segment_expr(threshold, spark=False)
+    return (
+        f"SELECT doc_id, CAST(u.k - 1 AS INTEGER) AS segment_id, "
+        f"s[u.k] AS segment_tokens FROM "
+        f"(SELECT doc_id, {segs} AS s FROM {from_clause}) t, "
+        f"unnest(range(1, len(t.s) + 1)) AS u(k)"
+    )
+
+
 def sessionize_oracle_sql(
     gap_seconds: float = 1800.0, from_clause: str = "events"
 ) -> str:

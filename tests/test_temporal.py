@@ -172,6 +172,26 @@ def test_asof_struct_valued_state(spark, events):
     assert out[9] is None
 
 
+def test_segment_table(spark):
+    from audio_feature_extraction_spark.core.schemas import TOKEN_SEQUENCES
+
+    # threshold 10: tokens < 10 are separators
+    df = spark.createDataFrame(
+        [
+            ("d0", [100, 200, 5, 300, 400, 500, 3, 2, 600], 9, "web"),
+            ("d1", [1, 2, 3], 3, "web"),       # all separators -> no segments
+            ("d2", [50, 60], 2, "web"),        # no separators -> one segment
+        ],
+        schema=TOKEN_SEQUENCES,
+    )
+    segs = {}
+    for r in sessionize.segment_table(df, 10).collect():
+        segs.setdefault(r.doc_id, {})[r.segment_id] = list(r.segment_tokens)
+    assert segs["d0"] == {0: [100, 200], 1: [300, 400, 500], 2: [600]}
+    assert "d1" not in segs
+    assert segs["d2"] == {0: [50, 60]}
+
+
 def test_rolling_causal(spark, events):
     out = temporal.rolling_stats(events, k=1).collect()
     by_id = {r.event_id: r for r in out}
