@@ -367,6 +367,18 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.vocab_stats(load_token_sequences(spark, sf_dir))
+
+
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bigram_stats(load_token_sequences(spark, sf_dir), min_freq=2)
+
+
+def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_features(load_token_sequences(spark, sf_dir))
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(load_token_sequences(spark, sf_dir))
 
@@ -420,6 +432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "text_profile": q_text_profile,
         "fingerprints": q_fingerprints,
+        "vocab_stats": q_vocab_stats,
+        "bigram_stats": q_bigram_stats,
+        "doc_features": q_doc_features,
         "mel": q_mel,
         "mfcc": q_mfcc,
         "frame_descriptors": q_frame_descriptors,
@@ -574,6 +589,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_profile": textstats.text_profile_oracle_sql(),
         "fingerprints": f"{_tok_cte()} {textstats.fingerprints_oracle_sql()}",
+        "vocab_stats": f"{_tok_cte()} {textstats.vocab_stats_oracle_sql()}",
+        "bigram_stats": f"{_tok_cte()} {textstats.bigram_stats_oracle_sql(2)}",
+        "doc_features": f"{_tok_cte()} {textstats.doc_features_oracle_sql()}",
         "mel": (
             f"{_frames_cte()}, feats AS ({frame_feat_core}) "
             f"{spectral.mel_oracle_sql(SPEC, _N_MELS)}"

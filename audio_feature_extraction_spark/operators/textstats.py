@@ -139,6 +139,76 @@ def text_profile_oracle_sql(from_clause: str = "documents") -> str:
     )
 
 
+def vocab_stats(tokseq: DataFrame) -> DataFrame:
+    """Corpus token-frequency table — the classic wordcount: explode +
+    partial/final hash aggregation (map-side combine keeps the shuffle at
+    |vocab| per partition, not |tokens|)."""
+    return (
+        tokseq.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def vocab_stats_oracle_sql(from_clause: str = "tokseq") -> str:
+    return (
+        f"SELECT u.token AS token, count(*) AS freq FROM {from_clause} t, "
+        f"unnest(t.tokens) AS u(token) GROUP BY 1"
+    )
+
+
+def bigram_stats(tokseq: DataFrame, min_freq: int = 2) -> DataFrame:
+    """Corpus bigram-frequency table (co-occurrence counts). The bigram
+    code packs the pair into one int64 — groupBy on a scalar, not a
+    struct, halves shuffle width."""
+    pairs = tokseq.selectExpr(
+        "explode(transform(filter(sequence(1, size(tokens)), i -> i < size(tokens)), "
+        "i -> bigint(element_at(tokens, cast(i as int))) * 32768 "
+        "+ element_at(tokens, cast(i+1 as int)))) as bigram"
+    )
+    out = pairs.groupBy("bigram").agg(F.count("*").alias("freq"))
+    return out.where(F.col("freq") >= min_freq).select(
+        (F.col("bigram") / 32768).cast("int").alias("t1"),
+        F.pmod("bigram", F.lit(32768)).cast("int").alias("t2"),
+        "freq",
+    )
+
+
+def bigram_stats_oracle_sql(min_freq: int = 2, from_clause: str = "tokseq") -> str:
+    return (
+        f"SELECT CAST(bigram // 32768 AS INTEGER) AS t1, "
+        f"CAST(bigram % 32768 AS INTEGER) AS t2, freq FROM ("
+        f"SELECT u.bigram, count(*) AS freq FROM "
+        f"(SELECT list_transform(range(1, len(tokens)), "
+        f"i -> CAST(tokens[i] AS BIGINT) * 32768 + tokens[i+1]) AS bs "
+        f"FROM {from_clause}) t, unnest(t.bs) AS u(bigram) GROUP BY 1) "
+        f"WHERE freq >= {min_freq}"
+    )
+
+
+def doc_features(tokseq: DataFrame, n_buckets: int = 9, mult: int = 31) -> DataFrame:
+    """Whole-document histogram feature (mean-pool analog done exactly:
+    the sum of all per-frame count vectors IS the whole-sequence bigram
+    histogram — integer-exact, no float pooling)."""
+    counts = (
+        f"transform(sequence(0, {n_buckets - 1}), b -> bigint(size(filter("
+        f"sequence(1, size(tokens)), i -> i < size(tokens) and "
+        f"(element_at(tokens, cast(i as int))*{mult} "
+        f"+ element_at(tokens, cast(i+1 as int))) % {n_buckets} = b))))"
+    )
+    return tokseq.selectExpr("doc_id", f"{counts} as doc_histogram")
+
+
+def doc_features_oracle_sql(
+    n_buckets: int = 9, mult: int = 31, from_clause: str = "tokseq"
+) -> str:
+    counts = (
+        f"list_transform(range(0, {n_buckets}), b -> CAST(len(list_filter("
+        f"range(1, len(tokens)), i -> (tokens[i]*{mult} + tokens[i+1]) % {n_buckets} = b)) AS BIGINT))"
+    )
+    return f"SELECT doc_id, {counts} AS doc_histogram FROM {from_clause}"
+
+
 def fingerprints(tokseq: DataFrame) -> DataFrame:
     return tokseq.selectExpr(
         "doc_id", f"{fingerprint_expr(spark=True)} as fingerprint"
