@@ -367,6 +367,29 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution in exact 50-token buckets."""
+    ts = load_token_sequences(spark, sf_dir)
+    return (
+        ts.select((F.col("n_tok") - F.pmod("n_tok", F.lit(50))).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source group reduction (≙ channel select / mixdown S4):
+    exact integer aggregates per corpus tag."""
+    ts = load_token_sequences(spark, sf_dir)
+    return ts.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("n_tok").alias("min_len"),
+        F.max("n_tok").alias("max_len"),
+        (F.sum("n_tok") / F.count("*")).alias("mean_len"),
+    )
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_stats(load_token_sequences(spark, sf_dir))
 
@@ -432,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "text_profile": q_text_profile,
         "fingerprints": q_fingerprints,
+        "length_histogram": q_length_histogram,
+        "source_stats": q_source_stats,
         "vocab_stats": q_vocab_stats,
         "bigram_stats": q_bigram_stats,
         "doc_features": q_doc_features,
@@ -589,6 +614,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_profile": textstats.text_profile_oracle_sql(),
         "fingerprints": f"{_tok_cte()} {textstats.fingerprints_oracle_sql()}",
+        "length_histogram": (
+            f"{_tok_cte()} SELECT (n_tok - n_tok % 50) AS bucket, "
+            f"count(*) AS n_docs FROM tokseq GROUP BY 1"
+        ),
+        "source_stats": (
+            f"{_tok_cte()} SELECT source, count(*) AS n_docs, "
+            f"CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens, "
+            f"min(n_tok) AS min_len, max(n_tok) AS max_len, "
+            f"sum(CAST(n_tok AS BIGINT)) / CAST(count(*) AS DOUBLE) AS mean_len "
+            f"FROM tokseq GROUP BY source"
+        ),
         "vocab_stats": f"{_tok_cte()} {textstats.vocab_stats_oracle_sql()}",
         "bigram_stats": f"{_tok_cte()} {textstats.bigram_stats_oracle_sql(2)}",
         "doc_features": f"{_tok_cte()} {textstats.doc_features_oracle_sql()}",
