@@ -11,8 +11,10 @@ channels are per-frame token stats (mean/std/min/max/distinct_ratio).
 
 Two implementations with *bit-identical* output (tested):
 
-* ``frame_features`` — the scale path: one vectorized Arrow kernel per
-  partition (``mapInPandas``), numpy prefix-sum histograms + stride-tricks.
+* ``frame_features`` / ``frame_features_flat`` — the scale path: one
+  whole-batch Arrow kernel per partition (``mapInPandas``): strided
+  bincount histograms, integer prefix sums, a single int16 sort, and
+  zero-copy Arrow list outputs.
   This is the UDTF shape (1 row in → n_frames rows out, SURVEY §2.10 X3).
   Narrow — no shuffle; parallelism = input splits.
 * ``frame_features_sql`` / ``*_oracle_sql`` — pure-SQL formulations
@@ -38,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from audio_feature_extraction_spark.core.config import DEFAULT_FRAME, FrameSpec
-from audio_feature_extraction_spark.core.schemas import FRAME_FEATURES, FRAMES
+from audio_feature_extraction_spark.core.schemas import FRAME_FEATURES
 
 
 # ---------------------------------------------------------------------------
