@@ -14,6 +14,13 @@ without an oracle (rows-only check).
 
 from __future__ import annotations
 
+import os
+import sys
+
+# the engine package lives beside this file — make the import robust to
+# whatever CWD the driver uses
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

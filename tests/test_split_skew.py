@@ -68,6 +68,29 @@ def test_two_phase_count_equals_plain(spark):
     assert plain == two
 
 
+def test_salting_flattens_hot_key(spark):
+    """The skew evidence: a hot grouping key concentrates rows in one
+    shuffle partition; salting spreads them (partition histogram proof,
+    the north-rule 'document per-partition row counts')."""
+    n = 20000
+    df = spark.range(0, n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(
+            F.col("id").cast("string")
+        ).alias("k"),
+        F.col("id").alias("seq"),
+    )
+    # unsalted: groupBy(k) puts ~90% of rows in the HOT partition
+    plain = df.repartition(16, "k")
+    h1 = {r.partition_id: r["count"] for r in skew.partition_histogram(plain).collect()}
+    salted = skew.with_salt(df, 16, "seq").repartition(16, "k", "_salt")
+    h2 = {r.partition_id: r["count"] for r in skew.partition_histogram(salted).collect()}
+    assert max(h1.values()) > 0.85 * n          # skewed before
+    assert max(h2.values()) < 0.25 * n          # flattened after
+    # and the two-phase aggregate still gets exact counts
+    two = {r.k: r.n for r in skew.skewed_group_count(df, "k", 16, "seq").collect()}
+    assert two["HOT"] == sum(1 for i in range(n) if i % 10 < 9)
+
+
 def test_partition_histogram(spark):
     df = spark.range(0, 1000).repartition(8)
     hist = skew.partition_histogram(df).collect()
