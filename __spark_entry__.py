@@ -50,6 +50,31 @@ from audio_feature_extraction_spark.sources.tokens import (
 
 SPEC = FrameSpec(frame_len=16, hop=8)
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_shipped: set[int] = set()
+
+
+def _ensure_pkg_shipped(spark: SparkSession) -> None:
+    """Ship the engine package to executors (addPyFile zip) so UDF
+    closures resolve regardless of the driver's CWD/PYTHONPATH — the
+    same mechanism spark-submit --py-files uses."""
+    key = id(spark.sparkContext)
+    if key in _shipped:
+        return
+    import zipfile
+
+    zip_path = os.path.join("/tmp", "afes_pkg_entry.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as z:
+            pkg = os.path.join(_REPO_DIR, "audio_feature_extraction_spark")
+            for root, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO_DIR))
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped.add(key)
+
 _STAT_FIELDS = ("mean", "std", "min", "max", "distinct_ratio")
 
 # probe/state partition of the events table used by the PIT queries
@@ -426,10 +451,23 @@ def q_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: frame/hop feature grid over sf0.001 (SURVEY §7.1 step 2)."""
+    _ensure_pkg_shipped(spark)
     return q_frame_features(spark, "/root/testdata/sf0.001")
 
 
+def _with_ship(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _with_ship(fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_sequences": q_token_sequences,
         "frames": q_frames,
