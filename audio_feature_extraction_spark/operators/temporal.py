@@ -88,6 +88,62 @@ def frame_deltas(
     )
 
 
+def backfill_bucketed(
+    df: DataFrame,
+    value_col: str = "value",
+    entity: str = "user_id",
+    out_col: str = "filled",
+    bucket_seconds: float = 86400.0,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Skew-proof carry-forward: the same segmented-scan shape as
+    ``asof.asof_join_bucketed`` applied to backfill — local carry within
+    (entity, time-bucket), boundary carries across buckets on the tiny
+    per-bucket table, combine. A hot entity spreads over many partitions
+    instead of one window straggler. Identical output to ``backfill``
+    (tested)."""
+    bucket_us = int(bucket_seconds * 1_000_000)
+    u = df.withColumn(
+        "_bucket",
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / bucket_us).cast("long"),
+    )
+    wloc = (
+        Window.partitionBy(entity, "_bucket")
+        .orderBy(ts_col, seq_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = u.withColumn("_lv", F.last(value_col, ignorenulls=True).over(wloc))
+
+    bounds = (
+        u.where(F.col(value_col).isNotNull())
+        .groupBy(entity, "_bucket")
+        .agg(F.max(F.struct(ts_col, seq_col, value_col)).alias("_m"))
+        .select(entity, "_bucket", F.col(f"_m.{value_col}").alias("_bv"))
+    )
+    prev = bounds.select(
+        F.col(entity), (F.col("_bucket") + 1).alias("_bucket"), F.col("_bv").alias("_pv")
+    )
+    all_buckets = (
+        u.select(entity, "_bucket")
+        .unionByName(prev.select(entity, "_bucket"))
+        .distinct()
+    )
+    wfill = (
+        Window.partitionBy(entity)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled_bounds = all_buckets.join(prev, [entity, "_bucket"], "left").withColumn(
+        "_pv", F.last("_pv", ignorenulls=True).over(wfill)
+    )
+    return (
+        local.join(F.broadcast(filled_bounds), [entity, "_bucket"], "left")
+        .withColumn(out_col, F.coalesce("_lv", "_pv"))
+        .drop("_bucket", "_lv", "_pv")
+    )
+
+
 # --- DuckDB oracle builders -------------------------------------------------
 
 def deltas_oracle_sql(value_col: str = "value", from_clause: str = "events") -> str:

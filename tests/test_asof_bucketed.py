@@ -49,6 +49,22 @@ def test_bucketed_equals_plain(spark, bucket_seconds):
     assert bucketed == plain
 
 
+@pytest.mark.parametrize("bucket_seconds", [3600.0, 60.0])
+def test_backfill_bucketed_equals_plain(spark, bucket_seconds):
+    from audio_feature_extraction_spark.operators import temporal
+
+    ev = _events(spark).withColumn(
+        "value",
+        F.when(F.col("event_type") == "view", None).otherwise(F.col("value")),
+    )
+    plain = {r.event_id: r.filled for r in temporal.backfill(ev).collect()}
+    bucketed = {
+        r.event_id: r.filled
+        for r in temporal.backfill_bucketed(ev, bucket_seconds=bucket_seconds).collect()
+    }
+    assert bucketed == plain
+
+
 def test_bucketed_zero_leakage(spark):
     ev = _events(spark, n_hot=60, n_cold=5)
     probes = ev.where(F.col("event_type") == "view")
