@@ -310,6 +310,47 @@ def asof_join_bucketed(
     return out
 
 
+def asof_join_auto(
+    probes: DataFrame,
+    states: DataFrame,
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    skew_factor: float = 10.0,
+    bucket_seconds: float = 86400.0,
+) -> DataFrame:
+    """Pick the plain single-window as-of or the segmented-scan variant
+    from the measured key histogram: if the hottest entity holds more
+    than ``skew_factor`` × the mean per-partition row count, one window
+    partition becomes a straggler — use the bucketed shape.
+
+    The histogram probe is one cheap partial-aggregated count job
+    (shuffle = |distinct entities| rows). Driver-side decision, like
+    AQE's runtime re-plan but for the window operator AQE can't split.
+    """
+    both = probes.select(entity).unionByName(states.select(entity))
+    hist = both.groupBy(entity).count()
+    agg = hist.agg(
+        F.max("count").alias("mx"), F.sum("count").alias("total")
+    ).collect()[0]
+    n_part = int(probes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if choose_bucketed(int(agg.mx), int(agg.total), n_part, skew_factor):
+        return asof_join_bucketed(
+            probes, states, bucket_seconds, entity, ts_col, value_col, seq_col
+        )
+    return asof_join(probes, states, entity, ts_col, value_col, seq_col)
+
+
+def choose_bucketed(
+    max_key_rows: int, total_rows: int, n_partitions: int, skew_factor: float = 10.0
+) -> bool:
+    """Straggler heuristic: bucketed wins when the hottest key exceeds
+    ``skew_factor`` × the mean per-partition volume."""
+    mean_per_partition = max(total_rows / max(n_partitions, 1), 1.0)
+    return max_key_rows > skew_factor * mean_per_partition
+
+
 def asof_oracle_sql(
     probe_filter: str,
     state_filter: str,

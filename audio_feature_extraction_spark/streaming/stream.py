@@ -168,7 +168,12 @@ def stream_feature_extract(
     frames = stateful_frames(chunks, spec)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        featurize_frames_sql(batch, spec).write.mode("append").parquet(out_dir)
+        # idempotent commit: each micro-batch owns a batch_id directory
+        # and overwrites it — a replayed batch (failure between write and
+        # checkpoint commit) cannot duplicate rows (exactly-once sink)
+        featurize_frames_sql(batch, spec).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     return (
         frames.writeStream.foreachBatch(sink)

@@ -65,6 +65,27 @@ def test_backfill_bucketed_equals_plain(spark, bucket_seconds):
     assert bucketed == plain
 
 
+def test_choose_bucketed_heuristic():
+    # 10k rows over 16 partitions -> mean 625/partition
+    assert not asof.choose_bucketed(1000, 10000, 16)      # 1.6x mean: plain
+    assert asof.choose_bucketed(8000, 10000, 16)          # 12.8x mean: bucketed
+    assert not asof.choose_bucketed(0, 0, 16)
+
+
+def test_asof_auto_matches_plain(spark):
+    ev = _events(spark, n_hot=80, n_cold=8)
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type") == "click")
+    plain = {
+        r.event_id: r.asof_value for r in asof.asof_join(probes, states).collect()
+    }
+    auto = {
+        r.event_id: r.asof_value
+        for r in asof.asof_join_auto(probes, states).collect()
+    }
+    assert auto == plain
+
+
 def test_bucketed_zero_leakage(spark):
     ev = _events(spark, n_hot=60, n_cold=5)
     probes = ev.where(F.col("event_type") == "view")
