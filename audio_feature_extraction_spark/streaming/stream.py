@@ -154,6 +154,7 @@ def stream_feature_extract(
     out_dir: str,
     checkpoint_dir: str,
     spec: FrameSpec = DEFAULT_FRAME,
+    latency_budget_ms: float | None = None,
 ):
     """End-to-end streaming extraction (≙ StreamPipelineExecutor,
     design.md:1811-1846): stateful frame assembly -> per-micro-batch
@@ -175,12 +176,24 @@ def stream_feature_extract(
             f"{out_dir}/batch_id={batch_id}"
         )
 
-    return (
+    listener = None
+    if latency_budget_ms is not None:
+        from audio_feature_extraction_spark.plans.metrics import (
+            MicroBatchLatencyListener,
+        )
+
+        listener = MicroBatchLatencyListener(budget_ms=latency_budget_ms)
+        chunks.sparkSession.streams.addListener(listener)
+
+    query = (
         frames.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()
     )
+    if listener is not None:
+        return query, listener
+    return query
 
 
 def session_windows_stream(

@@ -154,6 +154,44 @@ def test_stream_extract_with_restart(spark, tmp_path):
     assert len(got) > 2  # frames from both sides of the restart
 
 
+@pytest.mark.slow
+def test_stream_latency_listener(spark, tmp_path):
+    """≙ LatencyMonitor (design.md:2005-2061): per-micro-batch trigger
+    durations are recorded against the budget by a real listener."""
+    spec = FrameSpec(frame_len=4, hop=2)
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("d", 0, [1, 2, 3, 4, 5, 6])], stream.CHUNK_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    chunks = (
+        spark.readStream.schema(stream.CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q, listener = stream.stream_feature_extract(
+        chunks, str(tmp_path / "o"), str(tmp_path / "c"), spec,
+        latency_budget_ms=100.0,
+    )
+    try:
+        q.processAllAvailable()
+        # listener events arrive asynchronously — wait briefly
+        import time as _t
+
+        for _ in range(40):
+            if any(s.total > 0 for s in listener.stats.values()):
+                break
+            _t.sleep(0.25)
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    recorded = [s for s in listener.stats.values() if s.total > 0]
+    assert recorded, "no micro-batch latency recorded"
+    rep = recorded[0].report()
+    assert rep["n"] >= 1 and rep["window_max_ms"] > 0
+    assert rep["budget_ms"] == 100.0
+
+
 def test_session_window_matches_sessionize(spark):
     """Native session_window (streaming twin) agrees with the cumsum
     sessionize on session boundaries and per-session counts."""
