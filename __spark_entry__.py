@@ -123,6 +123,12 @@ def q_frame_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flatten_stats(framing.frame_features_sql(ts, SPEC))
 
 
+def q_frame_features_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact float32 export (training-feature shape)."""
+    ts = load_token_sequences(spark, sf_dir)
+    return framing.frame_features_compact(ts, SPEC)
+
+
 def q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
     frames = framing.frame_table(ts, SPEC)
@@ -473,6 +479,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frames": q_frames,
         "frame_features": q_frame_features,
         "frame_features_sql": q_frame_features_sql,
+        "frame_features_f32": q_frame_features_f32,
         "roundtrip": q_roundtrip,
         "asof_join": q_asof_join,
         "asof_join_ttl": q_asof_join_ttl,
@@ -596,6 +603,10 @@ def oracle_sql() -> dict[str, str]:
         "frames": f"{_tok_cte()} {framing.frames_oracle_sql(SPEC, 'tokseq')}",
         "frame_features": frame_feat_sql,
         "frame_features_sql": frame_feat_sql,
+        "frame_features_f32": (
+            f"{_frames_cte()} SELECT doc_id, frame_id, "
+            f"CAST(({feat}) AS FLOAT[]) AS features FROM frames"
+        ),
         "roundtrip": roundtrip_sql,
         "asof_join": asof.asof_oracle_sql(_PROBE_FILTER, _STATE_FILTER),
         "asof_join_ttl": (

@@ -187,7 +187,10 @@ def _db_table(spec: FrameSpec, max_count: int) -> np.ndarray:
 
 
 def featurize_batch(
-    doc_ids: np.ndarray, tok_arrays: list[np.ndarray], spec: FrameSpec
+    doc_ids: np.ndarray,
+    tok_arrays: list[np.ndarray],
+    spec: FrameSpec,
+    compact: bool = False,
 ) -> pd.DataFrame:
     """Whole-batch vectorized kernel: ALL documents of an Arrow batch are
     concatenated and processed in one numpy pass (no per-doc Python loop).
@@ -242,6 +245,23 @@ def featurize_batch(
     db = dbt[counts]
     floor = dbt[counts.max(axis=1)] - spec.top_db
     db = np.maximum(db, floor[:, None])
+
+    if compact:
+        # training-export shape: float32 features only (cast parity with
+        # Spark/DuckDB FLOAT verified), no tokens/stats — ~4x fewer
+        # output bytes, and the sort/stat passes are skipped entirely
+        f32 = db.astype(np.float32)
+        feat_offs = np.arange(0, nb * (total + 1), nb, dtype=np.int32)
+        feat_list = pa.ListArray.from_arrays(
+            pa.array(feat_offs), pa.array(f32.ravel())
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc_ids, nf_doc),
+                "frame_id": fid.astype(np.int32),
+                "features": pd.arrays.ArrowExtensionArray(feat_list),
+            }
+        )
 
     t64 = t32.astype(np.int64)
     cs1 = np.concatenate([[0], np.cumsum(t64)])
@@ -312,6 +332,42 @@ FRAME_FEATURES_FLAT = T.StructType(
 # saturate DRAM bandwidth (measured optimum ~64k tokens across 1/4/16/32
 # worker configurations)
 _MAX_TOKENS_PER_SLICE = 64_000
+
+FRAME_FEATURES_COMPACT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_id", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def frame_features_compact(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    """Compact float32 feature export (no tokens/stats) — the shape a
+    training pipeline ships to a feature store at 100 TB: ~4x fewer
+    output bytes than the full table, bit-exact vs the oracle after the
+    double->float cast (IEEE round-to-nearest in all engines)."""
+    l, h = spec.frame_len, spec.hop
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kspec = FrameSpec(frame_len=l, hop=h)
+        for pdf in batches:
+            toks = [np.asarray(a) for a in pdf["tokens"]]
+            ids = pdf["doc_id"].to_numpy(dtype=object)
+            lo = 0
+            while lo < len(toks):
+                hi, acc = lo, 0
+                while hi < len(toks) and (acc == 0 or acc < _MAX_TOKENS_PER_SLICE):
+                    acc += len(toks[hi])
+                    hi += 1
+                out = featurize_batch(ids[lo:hi], toks[lo:hi], kspec, compact=True)
+                if len(out):
+                    yield out
+                lo = hi
+
+    return df.select("doc_id", "tokens").mapInPandas(
+        run, schema=FRAME_FEATURES_COMPACT
+    )
 
 
 def frame_features_flat(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
