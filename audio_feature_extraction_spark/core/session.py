@@ -43,6 +43,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table support without polluting the CWD
+        .config("spark.sql.warehouse.dir", "/tmp/afes_warehouse")
         # ANSI off: we rely on wrap-around-free integer ranges but want
         # slice()/element_at() permissive semantics identical to DuckDB's
         # list ops for the oracle comparisons.

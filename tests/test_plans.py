@@ -142,6 +142,25 @@ def test_split_write_prunes_partitions(spark, tmp_path):
     assert "train" in pf
 
 
+def test_bucketed_table_removes_reconstruct_shuffle(spark):
+    """Token table written bucketBy(doc_id): the frame->reconstruct
+    groupBy reuses the storage partitioning — ZERO exchanges end to end
+    (vs exactly one on an unbucketed table)."""
+    from audio_feature_extraction_spark.sinks import bucketed
+
+    ts = load_token_sequences(spark, SF)
+    bucketed.write_bucketed(ts, "tok_bucketed_test", n_buckets=4)
+    try:
+        tb = bucketed.read_table(spark, "tok_bucketed_test")
+        rec = inverse.reconstruct(framing.frame_table(tb, SPEC), SPEC)
+        assert _n_exchanges(rec) == 0
+        # and the result is still exact
+        ok = inverse.roundtrip_check(tb, framing.frame_table(tb, SPEC), SPEC)
+        assert all(r.ok for r in ok.collect())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tok_bucketed_test")
+
+
 def test_params_join_broadcasts(spark):
     frames = framing.frame_table(load_token_sequences(spark, SF), SPEC)
     params = frames.sparkSession.createDataFrame(
