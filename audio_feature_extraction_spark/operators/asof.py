@@ -48,6 +48,12 @@ def asof_join(
     ``max_staleness_seconds`` is the feature-store TTL: a carried state
     older than the TTL at probe time is treated as absent (both columns
     null) — stale features are leakage of a different kind.
+
+    Null-valued state rows are TRANSPARENT (skipped by the carry, the
+    previous non-null value persists) — backfill semantics, unlike a
+    literal ASOF join which would match the row and return its null.
+    Filter nulls out upstream if "explicit null observation" semantics
+    are wanted.
     """
     # no pre-dedupe needed: the carry-forward window orders states by
     # (ts, tag, seq), so among equal-ts states the max-seq row is the last

@@ -114,6 +114,10 @@ def run_queries(parallelism: int, amplify: int = AMPLIFY, core_only: bool = Fals
 
     timed("frame_features", lambda: _noop(framing.frame_features(amplified, spec)))
     timed(
+        "frame_features_f32",
+        lambda: _noop(framing.frame_features_compact(amplified, spec)),
+    )
+    timed(
         "roundtrip",
         lambda: _noop(
             inverse.roundtrip_check(amplified, framing.frame_table(amplified, spec), spec)

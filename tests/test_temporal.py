@@ -157,6 +157,19 @@ def test_asof_multi_matches_single(spark, events):
         assert {k: v[idx] for k, v in multi.items()} == single
 
 
+def test_asof_null_states_are_transparent(spark, events):
+    """Pinned semantics: a null-valued state row does NOT clobber the
+    carried value (backfill-style), it is skipped."""
+    states = events.where(F.col("event_type").isin("click", "purchase")).withColumn(
+        "value",
+        F.when(F.col("event_id") == 3, None).otherwise(F.col("value")),
+    )
+    probes = events.where(F.col("event_type") == "view")
+    out = {r.event_id: r.asof_value for r in asof.asof_join(probes, states).collect()}
+    # event 3 (value 20.0) became null -> probes 4 and 5 fall back to 10.0
+    assert out[4] == 10.0 and out[5] == 10.0
+
+
 def test_asof_struct_valued_state(spark, events):
     """Feature ROWS (struct of several values) carry through the as-of —
     the feature-store shape where each state is a whole vector."""
