@@ -121,6 +121,24 @@ def cmd_split(args) -> int:
     return 0
 
 
+def cmd_pit(args) -> int:
+    """Point-in-time feature serving over an events parquet: 'view' rows
+    are probes; other rows are feature states; auto skew handling."""
+    from audio_feature_extraction_spark.operators import asof
+
+    spark = get_spark(app_name="afes-pit")
+    ev = spark.read.parquet(f"{args.input}/events.parquet")
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type") != "view")
+    out = asof.asof_join_auto(probes, states)
+    out.write.mode("overwrite").parquet(args.output)
+    served = out.where(F.col("asof_value").isNotNull()).count()
+    total = out.count()
+    print(json.dumps({"command": "pit", "probes": total, "served": served}))
+    spark.stop()
+    return 0
+
+
 def cmd_profile(args) -> int:
     spark = get_spark(app_name="afes-profile")
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
@@ -162,6 +180,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("profile", help="text quality/langid profile")
     common(sp)
     sp.set_defaults(fn=cmd_profile)
+
+    sp = sub.add_parser("pit", help="point-in-time feature serving over events")
+    common(sp)
+    sp.set_defaults(fn=cmd_pit)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -86,6 +86,23 @@ def main() -> int:
             failures.append(name)
             print(f"[FAIL] {name}: columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
             continue
+        # dtype-kind parity (int vs float vs object/bool/datetime): the
+        # driver's schema check would flag e.g. DuckDB DECIMAL sums that
+        # pandas renders as float where Spark yields int
+        kind_bad = [
+            c
+            for c in sdf.columns
+            if sdf[c].dtype.kind != ddf[c].dtype.kind
+            and {sdf[c].dtype.kind, ddf[c].dtype.kind} != {"O"}  # objects vary
+            and "O" not in (sdf[c].dtype.kind, ddf[c].dtype.kind)
+        ]
+        if kind_bad:
+            failures.append(name)
+            print(
+                f"[FAIL] {name}: dtype-kind mismatch "
+                f"{[(c, sdf[c].dtype.kind, ddf[c].dtype.kind) for c in kind_bad]}"
+            )
+            continue
         if len(sdf) != len(ddf):
             failures.append(name)
             print(f"[FAIL] {name}: rows {len(sdf)} vs {len(ddf)}")
