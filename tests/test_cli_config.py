@@ -52,3 +52,15 @@ def test_cli_extract_and_reconstruct(tmp_path):
     assert out2.returncode == 0, out2.stderr[-500:]
     rep2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert rep2["mismatches"] == 0 and rep2["docs"] == 500
+
+
+@pytest.mark.slow
+def test_cli_pit(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "audio_feature_extraction_spark.cli", "pit",
+         "--input", "/root/testdata/sf0.001", "--output", str(tmp_path / "pit")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["probes"] > 0 and rep["served"] <= rep["probes"]
