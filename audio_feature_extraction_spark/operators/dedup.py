@@ -171,15 +171,31 @@ def lsh_band_keys(
 
 
 def lsh_candidate_pairs(
-    tokseq: DataFrame, spec: MinHashSpec = DEFAULT_MINHASH
+    tokseq: DataFrame,
+    spec: MinHashSpec = DEFAULT_MINHASH,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs via band-bucket self-join.
 
     Shuffle on band_key; bucket sizes bound join fan-out. AQE skew-split
-    handles hot buckets at runtime.
+    handles moderately hot buckets at runtime; ``max_bucket_size`` is the
+    hard guard for degenerate corpora (near-identical boilerplate puts n
+    docs in one bucket → n² pairs). Overflowing buckets are EXCLUDED and
+    counted via ``lsh_overflow_buckets`` — no silent truncation: at 100 TB
+    run that report alongside and route overflow buckets to exact-hash
+    dedup (identical docs collapse there anyway).
     """
     sigs = minhash_signatures(tokseq, spec)
     bands = lsh_band_keys(sigs, spec).select("band", "band_key", "doc_id")
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        bands = (
+            bands.join(sizes, ["band", "band_key"])
+            .where(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -193,6 +209,22 @@ def lsh_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def lsh_overflow_buckets(
+    tokseq: DataFrame,
+    spec: MinHashSpec = DEFAULT_MINHASH,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The accounting side of the bucket cap: (band, band_key, n_docs)
+    for every bucket the capped candidate pass skipped."""
+    sigs = minhash_signatures(tokseq, spec)
+    bands = lsh_band_keys(sigs, spec)
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
     )
 
 

@@ -43,6 +43,19 @@ def test_minhash_near_dups_share_bands(spark):
     assert ("doc_0", "doc_2") not in pairs    # unrelated don't
 
 
+def test_lsh_bucket_cap_prevents_blowup(spark):
+    """100 near-identical docs: uncapped LSH yields ~n^2/2 pairs; the cap
+    excludes the degenerate bucket and accounts for it."""
+    base = list(range(3000, 3050))
+    df = _mkdf(spark, [base] * 100 + [list(range(7000, 7040))])
+    uncapped = dedup.lsh_candidate_pairs(df).count()
+    assert uncapped >= 100 * 99 / 2
+    capped = dedup.lsh_candidate_pairs(df, max_bucket_size=10).count()
+    assert capped == 0
+    overflow = dedup.lsh_overflow_buckets(df, max_bucket_size=10).collect()
+    assert overflow and all(r.n_docs == 100 for r in overflow)
+
+
 def test_jaccard_exact_value(spark):
     a = [1, 2, 3, 4, 5]        # shingles {1-2,2-3,3-4,4-5}
     b = [1, 2, 3, 4, 9]        # shingles {1-2,2-3,3-4,4-9}
