@@ -222,6 +222,20 @@ def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.segment_table(load_token_sequences(spark, sf_dir), 12850)
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events matched to their containing session intervals (bucketized
+    equi-join formulation of the inequality join)."""
+    from audio_feature_extraction_spark.operators import rangejoin
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = sessionize.session_summary(ev, 1800.0).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    return rangejoin.range_join_bucketized(
+        ev.select("event_id", "user_id", "ts"), sessions
+    ).select("event_id", "user_id", "ts", "session_id", "session_start", "session_end")
+
+
 def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
@@ -490,6 +504,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_summary": q_session_summary,
         "segments": q_segments,
+        "range_join": q_range_join,
         "split_counts": q_split_counts,
         "adjust_length": q_adjust_length,
         "trim_normalize": q_trim_normalize,
@@ -649,6 +664,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "session_summary": sessionize.session_summary_oracle_sql(1800.0),
         "segments": f"{_tok_cte()} {sessionize.segments_oracle_sql(12850)}",
+        "range_join": (
+            f"WITH sess AS (SELECT user_id, session_id, session_start, session_end "
+            f"FROM ({sessionize.session_summary_oracle_sql(1800.0)})) "
+            f"SELECT e.event_id, e.user_id, e.ts, s.session_id, "
+            f"s.session_start, s.session_end "
+            f"FROM events e JOIN sess s ON e.user_id = s.user_id "
+            f"AND e.ts >= s.session_start AND e.ts <= s.session_end"
+        ),
         "split_counts": split.split_oracle_sql("documents", "doc_id"),
         "adjust_length": adjust_sql,
         "trim_normalize": trim_sql,
