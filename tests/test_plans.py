@@ -142,6 +142,27 @@ def test_split_write_prunes_partitions(spark, tmp_path):
     assert "train" in pf
 
 
+def test_range_join_bucketized_is_hash_join(spark):
+    """The bucketized interval join must plan as a hash/sort-merge
+    equi-join, never a nested-loop over the inequality."""
+    from audio_feature_extraction_spark.operators import rangejoin, sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sessions = sessionize.session_summary(ev, 1800.0).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    out = rangejoin.range_join_bucketized(
+        ev.select("event_id", "user_id", "ts"), sessions
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
 def test_bucketed_table_removes_reconstruct_shuffle(spark):
     """Token table written bucketBy(doc_id): the frame->reconstruct
     groupBy reuses the storage partitioning — ZERO exchanges end to end
