@@ -104,7 +104,9 @@ def run_queries(parallelism: int, amplify: int = AMPLIFY, core_only: bool = Fals
 
     timings: dict[str, float] = {}
 
-    def timed(name, thunk, reps: int = 2):
+    def timed(name, thunk, reps: int | None = None):
+        if reps is None:
+            reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -186,11 +188,13 @@ def main() -> None:
             for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
         )
         results = {}
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")  # outlier-robust
         for p in (lo, hi):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single", str(p),
                  "--amplify", str(amp), "--core"],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True, check=True, env=env,
             )
             results[p] = json.loads(out.stdout.strip().splitlines()[-1])
         t_lo, t_hi = results[lo]["seq_per_sec"], results[hi]["seq_per_sec"]
