@@ -9,8 +9,9 @@ deterministic replication factor so the kernel processes ~100k sequences
 
 Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors;
 sandbox has no cluster): ``python bench.py --scaling`` runs the same
-workload in fresh subprocesses at local[8] and local[32] and reports
-throughput at both plus the efficiency ratio.
+workload in fresh subprocesses at local[4] and local[16] (N and 4N;
+see main() for why not 8/32 on a 32-core box) and reports throughput
+at both plus the efficiency ratio, best-of-3 per query.
 """
 
 from __future__ import annotations
