@@ -93,15 +93,85 @@ def _frames_cte() -> str:
 
 
 # ---------------------------------------------------------------------------
+# driver-canonical array serialization (VERDICT r01 "What's wrong" #1)
+# ---------------------------------------------------------------------------
+# The driver canonicalizes each result with a plain pandas ``sort_values``
+# + value hash; raw array<...> columns are unhashable there and turn the
+# whole row into ERR.  Every oracle-checked query therefore serializes
+# arrays at this contract boundary:
+#   * integer arrays  -> one CSV string (``<col>_csv``): int->string
+#     formatting is engine-identical, so the strings hash-compare exactly;
+#   * float/double arrays -> posexplode into (``<col>_idx``, ``<col>_value``)
+#     scalar rows: the doubles themselves are bit-identical across engines
+#     (exact-arithmetic / libm-matched — see operators/framing.py) while
+#     their *string* formatting is not, so CSV would be unsafe for floats.
+# Operator functions keep returning native arrays; only the driver-facing
+# projection changes.  Empty-array edge: Spark ``array_join`` yields ''
+# where DuckDB ``array_to_string`` yields NULL (coalesced in _sql_csv);
+# posexplode and zipped unnest both drop empty/NULL-array rows.
+
+def _csv_cols(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(
+            f"{c}_csv", F.array_join(F.col(c).cast("array<string>"), ",")
+        ).drop(c)
+    return df
+
+
+def _explode_vals(df: DataFrame, col: str) -> DataFrame:
+    keep = [c for c in df.columns if c != col]
+    out = df.select(
+        *keep,
+        F.posexplode(F.col(col).cast("array<double>")).alias("_p", f"{col}_value"),
+    )
+    return out.withColumn(f"{col}_idx", F.col("_p").cast("int")).drop("_p")
+
+
+def _sql_csv(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"ELSE coalesce(array_to_string({col}, ','), '') END AS {col}_csv"
+    )
+
+
+def _sql_canon(
+    orig: str,
+    scalars: list[str],
+    csv: tuple[str, ...] = (),
+    explode: str | None = None,
+) -> str:
+    """Wrap an oracle query so arrays leave as CSV strings / exploded rows.
+
+    DuckDB zips equal-length ``unnest`` calls in one SELECT, so
+    ``unnest(range(len(c)))`` + ``unnest(c)`` reproduces posexplode.
+    """
+    proj = ", ".join(scalars + [_sql_csv(c) for c in csv])
+    if explode is None:
+        return f"SELECT {proj} FROM ({orig}) _q"
+    inner = (
+        f"SELECT {proj}{', ' if proj else ''}"
+        f"unnest(range(len({explode}))) AS _i, "
+        f"unnest({explode}) AS _v FROM ({orig}) _q"
+    )
+    return (
+        f"SELECT * EXCLUDE (_i, _v), CAST(_i AS INTEGER) AS {explode}_idx, "
+        f"CAST(_v AS DOUBLE) AS {explode}_value FROM ({inner}) _e"
+    )
+
+
+# ---------------------------------------------------------------------------
 # query callables
 # ---------------------------------------------------------------------------
 
 def q_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_token_sequences(spark, sf_dir)
+    return _csv_cols(load_token_sequences(spark, sf_dir), "tokens")
 
 
 def q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return framing.frame_table(load_token_sequences(spark, sf_dir), SPEC)
+    return _csv_cols(
+        framing.frame_table(load_token_sequences(spark, sf_dir), SPEC),
+        "frame_tokens",
+    )
 
 
 def _flatten_stats(df: DataFrame) -> DataFrame:
@@ -114,19 +184,26 @@ def _flatten_stats(df: DataFrame) -> DataFrame:
 def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-kernel path (the engine hot path) checked against DuckDB."""
     ts = load_token_sequences(spark, sf_dir)
-    return framing.frame_features_flat(ts, SPEC)
+    return _explode_vals(
+        _csv_cols(framing.frame_features_flat(ts, SPEC), "frame_tokens"),
+        "features",
+    )
 
 
 def q_frame_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-Catalyst formulation of the same features (no Python)."""
     ts = load_token_sequences(spark, sf_dir)
-    return _flatten_stats(framing.frame_features_sql(ts, SPEC))
+    return _explode_vals(
+        _csv_cols(_flatten_stats(framing.frame_features_sql(ts, SPEC)), "frame_tokens"),
+        "features",
+    )
 
 
 def q_frame_features_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compact float32 export (training-feature shape)."""
+    """Compact float32 export (training-feature shape); values leave
+    widened back to double (f32->f64 is exact) for the driver hash."""
     ts = load_token_sequences(spark, sf_dir)
-    return framing.frame_features_compact(ts, SPEC)
+    return _explode_vals(framing.frame_features_compact(ts, SPEC), "features")
 
 
 def q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +296,10 @@ def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-axis segmentation: split sequences at rare low tokens."""
-    return sessionize.segment_table(load_token_sequences(spark, sf_dir), 12850)
+    return _csv_cols(
+        sessionize.segment_table(load_token_sequences(spark, sf_dir), 12850),
+        "segment_tokens",
+    )
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +331,7 @@ def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_adjust_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
-    return ts.select(
+    out = ts.select(
         "doc_id",
         F.col("n_tok").alias("original_length"),
         F.expr(preprocess.adjust_length_expr(64, "constant", 0, spark=True)).alias(
@@ -264,15 +344,17 @@ def q_adjust_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adj_replicate"
         ),
     )
+    return _csv_cols(out, "adj_constant", "adj_reflect", "adj_replicate")
 
 
 def q_trim_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
-    return ts.select(
+    out = ts.select(
         "doc_id",
         F.expr(preprocess.trim_expr(8192, spark=True)).alias("trimmed"),
         F.expr(preprocess.normalize_expr(spark=True)).alias("normalized"),
     )
+    return _explode_vals(_csv_cols(out, "trimmed"), "normalized")
 
 
 def q_mix_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,9 +364,10 @@ def q_mix_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = ts.where(num % 2 == 0)
     noise = ts.where(num % 2 == 1)
     paired = mixer.pair_clean_noise(clean, noise)
-    return mixer.mix_with_snr(paired, snr_db=10.0).select(
+    out = mixer.mix_with_snr(paired, snr_db=10.0).select(
         "doc_id", "noise_doc_id", "rms_clean", "rms_noise", "gain", "mixed"
     )
+    return _explode_vals(out, "mixed")
 
 
 _ANN_QUERY_FILTER = "vec_id % 100 = 0"
@@ -293,12 +376,12 @@ _N_MELS = 4
 
 def q_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = framing.frame_features_sql(load_token_sequences(spark, sf_dir), SPEC)
-    return spectral.project_mel(feats, SPEC, _N_MELS)
+    return _explode_vals(spectral.project_mel(feats, SPEC, _N_MELS), "mel")
 
 
 def q_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = framing.frame_features_sql(load_token_sequences(spark, sf_dir), SPEC)
-    return spectral.mfcc(feats, SPEC, _N_MELS)
+    return _explode_vals(spectral.mfcc(feats, SPEC, _N_MELS), "mfcc")
 
 
 def q_frame_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,8 +391,24 @@ def q_frame_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_frame_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = framing.frame_features_sql(load_token_sequences(spark, sf_dir), SPEC)
-    return temporal.frame_deltas(feats).select(
-        "doc_id", "frame_id", "features", "delta"
+    d = temporal.frame_deltas(feats).select("doc_id", "frame_id", "features", "delta")
+    # features explode to (idx, value); delta is looked up per element —
+    # try_element_at on the empty first-frame delta yields NULL, matching
+    # the oracle's out-of-range list subscript
+    d = d.select(
+        "doc_id",
+        "frame_id",
+        "delta",
+        F.posexplode(F.col("features").cast("array<double>")).alias(
+            "_p", "features_value"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "frame_id",
+        F.col("_p").cast("int").alias("features_idx"),
+        "features_value",
+        F.try_element_at("delta", F.col("_p") + F.lit(1)).alias("delta_value"),
     )
 
 
@@ -318,12 +417,15 @@ def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_trailing_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return framing.trailing_frame_table(load_token_sequences(spark, sf_dir), SPEC)
+    return _csv_cols(
+        framing.trailing_frame_table(load_token_sequences(spark, sf_dir), SPEC),
+        "frame_tokens",
+    )
 
 
 def q_frame_features_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
-    return framing.frame_features_weighted_sql(ts, SPEC)
+    return _explode_vals(framing.frame_features_weighted_sql(ts, SPEC), "features")
 
 
 def q_dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,12 +458,13 @@ def q_pit_feature_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
-    return ts.select(
+    out = ts.select(
         "doc_id",
         F.expr(augment.pitch_shift_expr(7, 32768, spark=True)).alias("pitch_shifted"),
         F.expr(augment.time_stretch_expr(2, 3, spark=True)).alias("stretched"),
         F.expr(augment.noise_inject_expr(10, 32768, spark=True)).alias("noised"),
     )
+    return _csv_cols(out, "pitch_shifted", "stretched", "noised")
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,7 +478,9 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(load_token_sequences(spark, sf_dir))
+    return _csv_cols(
+        dedup.minhash_signatures(load_token_sequences(spark, sf_dir)), "signature"
+    )
 
 
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,7 +556,9 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.doc_features(load_token_sequences(spark, sf_dir))
+    return _csv_cols(
+        textstats.doc_features(load_token_sequences(spark, sf_dir)), "doc_histogram"
+    )
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,7 +657,7 @@ def oracle_sql() -> dict[str, str]:
         f"{feat} AS features, {stat_cols} FROM frames"
     )
     frame_feat_core = f"SELECT doc_id, frame_id, {feat} AS features FROM frames"
-    frame_deltas_sql = (
+    frame_deltas_arrays = (
         f"{_frames_cte()}, feats AS ({frame_feat_core}), "
         f"lagged AS (SELECT doc_id, frame_id, features, "
         f"lag(features) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev "
@@ -559,6 +666,16 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN prev IS NULL THEN CAST([] AS DOUBLE[]) ELSE "
         f"list_transform(range(1, len(features) + 1), i -> features[i] - prev[i]) "
         f"END AS delta FROM lagged"
+    )
+    # canonical form: explode features, look delta up per element (empty
+    # first-frame delta -> out-of-range subscript -> NULL, = try_element_at)
+    frame_deltas_sql = (
+        f"SELECT doc_id, frame_id, CAST(_i AS INTEGER) AS features_idx, "
+        f"CAST(_v AS DOUBLE) AS features_value, "
+        f"CAST(delta[_i + 1] AS DOUBLE) AS delta_value "
+        f"FROM (SELECT doc_id, frame_id, delta, "
+        f"unnest(range(len(features))) AS _i, unnest(features) AS _v "
+        f"FROM ({frame_deltas_arrays}) _q) _e"
     )
     roundtrip_sql = (
         f"{_frames_cte()}, rec AS ({inverse.reconstruct_oracle_sql(SPEC, 'frames')}) "
@@ -613,14 +730,31 @@ def oracle_sql() -> dict[str, str]:
         f"FROM clean c CROSS JOIN n JOIN idx i "
         f"ON i.noise_idx = (c.num_id * {mixer.PAIR_MULT} + {mixer.PAIR_OFF}) % n.cnt"
     )
+    _stat_names = [f"stat_{k}" for k in st]
+    frame_feat_canon = _sql_canon(
+        frame_feat_sql,
+        ["doc_id", "frame_id"] + _stat_names,
+        csv=("frame_tokens",),
+        explode="features",
+    )
     return {
-        "token_sequences": f"{_tok_cte()} SELECT * FROM tokseq",
-        "frames": f"{_tok_cte()} {framing.frames_oracle_sql(SPEC, 'tokseq')}",
-        "frame_features": frame_feat_sql,
-        "frame_features_sql": frame_feat_sql,
-        "frame_features_f32": (
+        "token_sequences": _sql_canon(
+            f"{_tok_cte()} SELECT * FROM tokseq",
+            ["doc_id", "n_tok", "source"],
+            csv=("tokens",),
+        ),
+        "frames": _sql_canon(
+            f"{_tok_cte()} {framing.frames_oracle_sql(SPEC, 'tokseq')}",
+            ["doc_id", "frame_id"],
+            csv=("frame_tokens",),
+        ),
+        "frame_features": frame_feat_canon,
+        "frame_features_sql": frame_feat_canon,
+        "frame_features_f32": _sql_canon(
             f"{_frames_cte()} SELECT doc_id, frame_id, "
-            f"CAST(({feat}) AS FLOAT[]) AS features FROM frames"
+            f"CAST(({feat}) AS FLOAT[]) AS features FROM frames",
+            ["doc_id", "frame_id"],
+            explode="features",
         ),
         "roundtrip": roundtrip_sql,
         "asof_join": asof.asof_oracle_sql(_PROBE_FILTER, _STATE_FILTER),
@@ -663,7 +797,11 @@ def oracle_sql() -> dict[str, str]:
             f"({sessionize.sessionize_oracle_sql(1800.0)})"
         ),
         "session_summary": sessionize.session_summary_oracle_sql(1800.0),
-        "segments": f"{_tok_cte()} {sessionize.segments_oracle_sql(12850)}",
+        "segments": _sql_canon(
+            f"{_tok_cte()} {sessionize.segments_oracle_sql(12850)}",
+            ["doc_id", "segment_id"],
+            csv=("segment_tokens",),
+        ),
         "range_join": (
             f"WITH sess AS (SELECT user_id, session_id, session_start, session_end "
             f"FROM ({sessionize.session_summary_oracle_sql(1800.0)})) "
@@ -673,13 +811,25 @@ def oracle_sql() -> dict[str, str]:
             f"AND e.ts >= s.session_start AND e.ts <= s.session_end"
         ),
         "split_counts": split.split_oracle_sql("documents", "doc_id"),
-        "adjust_length": adjust_sql,
-        "trim_normalize": trim_sql,
-        "mix_snr": mix_sql,
+        "adjust_length": _sql_canon(
+            adjust_sql,
+            ["doc_id", "original_length"],
+            csv=("adj_constant", "adj_reflect", "adj_replicate"),
+        ),
+        "trim_normalize": _sql_canon(
+            trim_sql, ["doc_id"], csv=("trimmed",), explode="normalized"
+        ),
+        "mix_snr": _sql_canon(
+            mix_sql,
+            ["doc_id", "noise_doc_id", "rms_clean", "rms_noise", "gain"],
+            explode="mixed",
+        ),
         "exact_dup_groups": dedup.exact_dup_oracle_sql(),
         "prefix_dup_groups": dedup.prefix_dup_oracle_sql(40),
-        "minhash_signatures": (
-            f"{_tok_cte()} {dedup.minhash_signatures_oracle_sql()}"
+        "minhash_signatures": _sql_canon(
+            f"{_tok_cte()} {dedup.minhash_signatures_oracle_sql()}",
+            ["doc_id"],
+            csv=("signature",),
         ),
         "lsh_candidate_pairs": (
             f"{_tok_cte()}, {dedup.lsh_candidate_pairs_oracle_sql()}"
@@ -706,14 +856,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_stats": f"{_tok_cte()} {textstats.vocab_stats_oracle_sql()}",
         "bigram_stats": f"{_tok_cte()} {textstats.bigram_stats_oracle_sql(2)}",
-        "doc_features": f"{_tok_cte()} {textstats.doc_features_oracle_sql()}",
-        "mel": (
-            f"{_frames_cte()}, feats AS ({frame_feat_core}) "
-            f"{spectral.mel_oracle_sql(SPEC, _N_MELS)}"
+        "doc_features": _sql_canon(
+            f"{_tok_cte()} {textstats.doc_features_oracle_sql()}",
+            ["doc_id"],
+            csv=("doc_histogram",),
         ),
-        "mfcc": (
+        "mel": _sql_canon(
             f"{_frames_cte()}, feats AS ({frame_feat_core}) "
-            f"{spectral.mfcc_oracle_sql(SPEC, _N_MELS)}"
+            f"{spectral.mel_oracle_sql(SPEC, _N_MELS)}",
+            ["doc_id", "frame_id"],
+            explode="mel",
+        ),
+        "mfcc": _sql_canon(
+            f"{_frames_cte()}, feats AS ({frame_feat_core}) "
+            f"{spectral.mfcc_oracle_sql(SPEC, _N_MELS)}",
+            ["doc_id", "frame_id"],
+            explode="mfcc",
         ),
         "frame_descriptors": (
             f"{_frames_cte()} {spectral.descriptors_oracle_sql(SPEC, 'frames')}"
@@ -723,12 +881,16 @@ def oracle_sql() -> dict[str, str]:
             f"{_tok_cte()} SELECT CASE WHEN n_tok <= 0 THEN 'empty_sequence' "
             f"ELSE 'ok' END AS check, count(*) AS n FROM tokseq GROUP BY 1"
         ),
-        "trailing_frames": (
-            f"{_tok_cte()} {framing.trailing_frames_oracle_sql(SPEC, 'tokseq')}"
+        "trailing_frames": _sql_canon(
+            f"{_tok_cte()} {framing.trailing_frames_oracle_sql(SPEC, 'tokseq')}",
+            ["doc_id", "frame_id"],
+            csv=("frame_tokens",),
         ),
-        "frame_features_weighted": (
+        "frame_features_weighted": _sql_canon(
             f"{_frames_cte()} "
-            f"{framing.frame_features_weighted_oracle_sql(SPEC, 'frames')}"
+            f"{framing.frame_features_weighted_oracle_sql(SPEC, 'frames')}",
+            ["doc_id", "frame_id"],
+            explode="features",
         ),
         "dataset_summary": (
             f"{_frames_cte()}, feats AS ({frame_feat_core}) "
@@ -752,12 +914,14 @@ def oracle_sql() -> dict[str, str]:
             f"std.value AS asof_value, std.ts AS asof_ts "
             f"FROM pr ASOF LEFT JOIN std ON pr.user_id = std.user_id AND pr.ts >= std.ts"
         ),
-        "augment": (
+        "augment": _sql_canon(
             f"{_tok_cte()} SELECT doc_id, "
             f"{augment.pitch_shift_expr(7, 32768, spark=False)} AS pitch_shifted, "
             f"{augment.time_stretch_expr(2, 3, spark=False)} AS stretched, "
             f"{augment.noise_inject_expr(10, 32768, spark=False)} AS noised "
-            f"FROM tokseq"
+            f"FROM tokseq",
+            ["doc_id"],
+            csv=("pitch_shifted", "stretched", "noised"),
         ),
         "rms": (
             f"{_tok_cte()} SELECT doc_id, "

@@ -26,23 +26,26 @@ TABLES = (
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-accurate canonicalization (VERDICT r01 'What's wrong' #1/#2).
+
+    The driver sorts the raw pandas frame with a plain ``sort_values`` over
+    all columns — any array/struct column raises ``TypeError: unhashable
+    type`` there, which the driver records as ERR.  Round 1's replica
+    silently rescued lists by converting them to tuples first, masking 17
+    such ERRs; this version sorts FIRST, exactly like the driver, so a
+    non-scalar column crashes here too.  Scalar dtype normalization (np
+    ints/floats, NaN) happens only after the sort, for the comparison.
+    """
     df = df[sorted(df.columns)].copy()
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
     for c in df.columns:
         df[c] = df[c].map(_norm_val)
-    return df.sort_values(list(df.columns), key=lambda s: s.map(str)).reset_index(
-        drop=True
-    )
+    return df
 
 
 def _norm_val(v):
     import numpy as np
 
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_norm_val(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm_val(x)) for k, x in v.items()))
-    if hasattr(v, "asDict"):
-        return tuple(sorted((k, _norm_val(x)) for k, x in v.asDict().items()))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -107,7 +110,12 @@ def main() -> int:
             failures.append(name)
             print(f"[FAIL] {name}: rows {len(sdf)} vs {len(ddf)}")
             continue
-        a, b = normalize(sdf), normalize(ddf)
+        try:
+            a, b = normalize(sdf), normalize(ddf)
+        except TypeError as e:  # driver records these as ERR (unhashable column)
+            failures.append(name)
+            print(f"[FAIL] {name}: canonicalizer {type(e).__name__}: {e}")
+            continue
         if a.equals(b):
             print(f"[OK]   {name}: {len(sdf)} rows")
         else:
