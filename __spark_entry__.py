@@ -61,17 +61,34 @@ def _ensure_pkg_shipped(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _shipped:
         return
+    import hashlib
+    import tempfile
     import zipfile
 
-    zip_path = os.path.join("/tmp", "afes_pkg_entry.zip")
+    pkg = os.path.join(_REPO_DIR, "audio_feature_extraction_spark")
+    members: list[str] = []
+    for root, _, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                members.append(os.path.join(root, f))
+    members.sort()
+    # content-keyed path: a code change gets a fresh zip (no stale executor
+    # code), and a pre-planted file can't match the hash of our sources
+    h = hashlib.sha256()
+    for full in members:
+        h.update(os.path.relpath(full, _REPO_DIR).encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"afes_pkg_{h.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as z:
-            pkg = os.path.join(_REPO_DIR, "audio_feature_extraction_spark")
-            for root, _, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO_DIR))
+        fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in members:
+                z.write(full, os.path.relpath(full, _REPO_DIR))
+        os.replace(tmp, zip_path)  # atomic: concurrent drivers race safely
     spark.sparkContext.addPyFile(zip_path)
     _shipped.add(key)
 
@@ -439,13 +456,15 @@ def q_pit_feature_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     'view' probe is served the latest feature with zero leakage."""
     ts = load_token_sequences(spark, sf_dir)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t0 = ev.agg(F.min("ts")).collect()[0][0]
+    # t0 stays in the plan as a broadcast 1-row cross join (mirrors the
+    # oracle's t0 CTE) — no .collect(), no extra driver-side job
+    t0 = ev.agg(F.min("ts").alias("_t0"))
     num = F.regexp_replace("doc_id", "[^0-9]", "").cast("bigint")
-    states = ts.select(
+    states = ts.crossJoin(F.broadcast(t0)).select(
         (num % 15).alias("user_id"),
         F.expr(
-            "timestampadd(SECOND, cast(cast(regexp_replace(doc_id, '[^0-9]', '') as bigint) * 60 as int), "
-            f"timestamp'{t0}')"
+            "timestampadd(SECOND, cast(cast(regexp_replace(doc_id, '[^0-9]', '') "
+            "as bigint) * 60 as int), _t0)"
         ).alias("ts"),
         F.expr(mixer.rms_expr("tokens", spark=True)).alias("value"),
         num.alias("event_id"),
@@ -513,6 +532,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver records a rows-only check."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(emb, emb.where(F.expr(_ANN_QUERY_FILTER)), k=5)
+
+
+def q_ann_ivf_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic pivot quantizer — fully
+    SQL-expressible, so unlike ann_ivf it gets a value oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk_pivots(
+        emb, emb.where(F.expr(_ANN_QUERY_FILTER)), k=5
+    )
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +654,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_pivots": q_ann_ivf_pivots,
         "embedding_near_dups": q_embedding_near_dups,
         "text_profile": q_text_profile,
         "fingerprints": q_fingerprints,
@@ -771,10 +800,10 @@ def oracle_sql() -> dict[str, str]:
             f"{_PROBE_FILTER}), "
             "ck AS (SELECT user_id, ts, value FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id, ts ORDER BY event_id DESC) rn FROM events "
-            "WHERE event_type = 'click') WHERE rn = 1), "
+            "WHERE event_type = 'click' AND value IS NOT NULL) WHERE rn = 1), "
             "pu AS (SELECT user_id, ts, value FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id, ts ORDER BY event_id DESC) rn FROM events "
-            "WHERE event_type = 'purchase') WHERE rn = 1), "
+            "WHERE event_type = 'purchase' AND value IS NOT NULL) WHERE rn = 1), "
             "j1 AS (SELECT pr.user_id, pr.event_id, pr.ts, ck.value AS asof_click, "
             "ck.ts AS asof_click_ts FROM pr ASOF LEFT JOIN ck "
             "ON pr.user_id = ck.user_id AND pr.ts >= ck.ts) "
@@ -838,6 +867,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"{_tok_cte()} {dedup.simhash_oracle_sql()}",
         "ann_brute": similarity.brute_force_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
         "ann_lsh": similarity.lsh_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
+        "ann_ivf_pivots": similarity.ivf_topk_pivots_oracle_sql(
+            _ANN_QUERY_FILTER, k=5
+        ),
         "embedding_near_dups": similarity.embedding_near_dups_oracle_sql(
             threshold=0.2
         ),

@@ -53,7 +53,10 @@ def asof_join(
     previous non-null value persists) — backfill semantics, unlike a
     literal ASOF join which would match the row and return its null.
     Filter nulls out upstream if "explicit null observation" semantics
-    are wanted.
+    are wanted. ``asof_value`` and ``asof_ts`` are carried as ONE struct
+    that is null for null-valued states, so the served (value, ts) pair
+    always comes from the same state row — a transparent state can
+    neither advance ``asof_ts`` nor refresh a TTL.
     """
     # no pre-dedupe needed: the carry-forward window orders states by
     # (ts, tag, seq), so among equal-ts states the max-seq row is the last
@@ -70,13 +73,21 @@ def asof_join(
         c for c in probes.columns if c not in (entity, ts_col, seq_col, value_col)
     ]
     pr_schema = dict(zip(probes.schema.names, probes.schema.fields))
+    # (value, ts) carried as ONE nullable struct: null-valued states map
+    # to a null struct, so last(ignorenulls) skips the whole pair at once
+    vtype = st.schema[value_col].dataType
     st_tagged = st.select(
         F.col(entity),
         F.col(ts_col),
         F.lit(state_tag).alias("_tag"),
         F.col(seq_col).alias("_seq"),
-        F.col(value_col).alias("_sv"),
-        F.col(ts_col).alias("_sts"),
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(
+                F.col(value_col).alias("v"),
+                F.col(ts_col).cast("timestamp").alias("t"),
+            ),
+        ).alias("_s"),
         F.lit(None).cast("boolean").alias("_is_probe"),
         *[F.lit(None).cast(pr_schema[c].dataType).alias(c) for c in carry],
     )
@@ -85,8 +96,9 @@ def asof_join(
         F.col(ts_col),
         F.lit(probe_tag).alias("_tag"),
         F.col(seq_col).alias("_seq"),
-        F.lit(None).cast(st.schema[value_col].dataType).alias("_sv"),
-        F.lit(None).cast("timestamp").alias("_sts"),
+        F.lit(None)
+        .cast(f"struct<v:{vtype.simpleString()},t:timestamp>")
+        .alias("_s"),
         F.lit(True).alias("_is_probe"),
         *[F.col(c) for c in carry],
     )
@@ -97,9 +109,11 @@ def asof_join(
         .orderBy(ts_col, "_tag", "_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn(
-        "asof_value", F.last("_sv", ignorenulls=True).over(w)
-    ).withColumn("asof_ts", F.last("_sts", ignorenulls=True).over(w))
+    carried = (
+        unioned.withColumn("_c", F.last("_s", ignorenulls=True).over(w))
+        .withColumn("asof_value", F.col("_c.v"))
+        .withColumn("asof_ts", F.col("_c.t"))
+    )
 
     out = carried.where(F.col("_is_probe"))
     if max_staleness_seconds is not None:
@@ -143,25 +157,31 @@ def asof_join_multi(
     tagged = []
     vtype = None
     for i, name in enumerate(names):
-        st = sources[name].select(
+        src = sources[name]
+        vtype = vtype or src.schema[value_col].dataType
+        st = src.select(
             F.col(entity),
             F.col(ts_col),
             F.lit(0).alias("_tag"),
             F.col(seq_col).alias("_seq"),
             F.lit(i).alias("_src"),
-            F.col(value_col).alias("_sv"),
-            F.col(ts_col).alias("_sts"),
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.struct(
+                    F.col(value_col).alias("v"),
+                    F.col(ts_col).cast("timestamp").alias("t"),
+                ),
+            ).alias("_s"),
         )
-        vtype = vtype or st.schema["_sv"].dataType
         tagged.append(st)
+    stype = f"struct<v:{vtype.simpleString()},t:timestamp>"
     pr = probes.select(
         F.col(entity),
         F.col(ts_col),
         F.lit(1).alias("_tag"),
         F.col(seq_col).alias("_seq"),
         F.lit(None).cast("int").alias("_src"),
-        F.lit(None).cast(vtype).alias("_sv"),
-        F.lit(None).cast("timestamp").alias("_sts"),
+        F.lit(None).cast(stype).alias("_s"),
     )
     u = tagged[0]
     for t in tagged[1:]:
@@ -176,11 +196,13 @@ def asof_join_multi(
     out = u
     cols = []
     for i, name in enumerate(names):
-        sv = F.when(F.col("_src") == i, F.col("_sv"))
-        sts = F.when(F.col("_src") == i, F.col("_sts"))
-        out = out.withColumn(
-            f"asof_{name}", F.last(sv, ignorenulls=True).over(w)
-        ).withColumn(f"asof_{name}_ts", F.last(sts, ignorenulls=True).over(w))
+        # per-source (value, ts) pair carried as one struct, null for
+        # other sources AND for null-valued states (transparency)
+        s = F.when(F.col("_src") == i, F.col("_s"))
+        out = out.withColumn(f"_c{i}", F.last(s, ignorenulls=True).over(w))
+        out = out.withColumn(f"asof_{name}", F.col(f"_c{i}.v")).withColumn(
+            f"asof_{name}_ts", F.col(f"_c{i}.t")
+        )
         cols += [f"asof_{name}", f"asof_{name}_ts"]
     return out.where(F.col("_tag") == 1).select(
         F.col(entity), F.col("_seq").alias(seq_col), F.col(ts_col), *cols
@@ -218,44 +240,60 @@ def asof_join_bucketed(
     bucket_us = int(bucket_seconds * 1_000_000)
     micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
 
+    vtype = states.schema[value_col].dataType
     st = states.select(
         F.col(entity),
         F.col(ts_col),
         F.lit(0).alias("_tag"),
         F.col(seq_col).alias("_seq"),
-        F.col(value_col).alias("_sv"),
-        F.col(ts_col).alias("_sts"),
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(
+                F.col(value_col).alias("v"),
+                F.col(ts_col).cast("timestamp").alias("t"),
+            ),
+        ).alias("_s"),
     )
     pr = probes.select(
         F.col(entity),
         F.col(ts_col),
         F.lit(1).alias("_tag"),
         F.col(seq_col).alias("_seq"),
-        F.lit(None).cast(st.schema["_sv"].dataType).alias("_sv"),
-        F.lit(None).cast("timestamp").alias("_sts"),
+        F.lit(None)
+        .cast(f"struct<v:{vtype.simpleString()},t:timestamp>")
+        .alias("_s"),
     )
     u = st.unionByName(pr).withColumn(
         "_bucket", (micros(ts_col) / bucket_us).cast("long")
     )
 
-    # 1. local carry within (entity, bucket)
+    # 1. local carry within (entity, bucket) — (value, ts) as ONE struct so
+    # null-valued (transparent) states can't split the pair (ADVICE r01)
     wloc = (
         Window.partitionBy(entity, "_bucket")
         .orderBy(ts_col, "_tag", "_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = u.withColumn("_lv", F.last("_sv", ignorenulls=True).over(wloc)).withColumn(
-        "_lts", F.last("_sts", ignorenulls=True).over(wloc)
+    local = (
+        u.withColumn("_l", F.last("_s", ignorenulls=True).over(wloc))
+        .withColumn("_lv", F.col("_l.v"))
+        .withColumn("_lts", F.col("_l.t"))
     )
 
-    # 2. per-bucket boundary carries (tiny), carried across buckets
+    # 2. per-bucket boundary carries (tiny), carried across buckets.
+    # Null-valued states are transparent, so they must not win the
+    # per-bucket max — filter them before aggregating (ADVICE r01: a null
+    # newest state used to null out the whole bucket's carry)
     bounds = (
-        u.where(F.col("_tag") == 0)
+        u.where((F.col("_tag") == 0) & F.col("_s").isNotNull())
         .groupBy(entity, "_bucket")
-        .agg(
-            F.max(F.struct(ts_col, "_seq", "_sv", "_sts")).alias("_m")
+        .agg(F.max(F.struct(F.col(ts_col), F.col("_seq"), F.col("_s"))).alias("_m"))
+        .select(
+            entity,
+            "_bucket",
+            F.col("_m._s.v").alias("_bv"),
+            F.col("_m._s.t").alias("_bts"),
         )
-        .select(entity, "_bucket", F.col("_m._sv").alias("_bv"), F.col("_m._sts").alias("_bts"))
     )
     wb = (
         Window.partitionBy(entity)
@@ -363,12 +401,16 @@ def asof_oracle_sql(
     entity: str = "user_id",
     from_clause: str = "events",
 ) -> str:
-    """DuckDB native ASOF JOIN with matching dedupe + tie-break."""
+    """DuckDB native ASOF JOIN with matching dedupe + tie-break.
+
+    Null-valued states are filtered out — the engine treats them as
+    transparent (see ``asof_join``), a literal ASOF join would not.
+    """
     return (
         f"WITH st AS ("
         f"  SELECT {entity}, ts, value, event_id,"
         f"         row_number() OVER (PARTITION BY {entity}, ts ORDER BY event_id DESC) rn"
-        f"  FROM {from_clause} WHERE {state_filter}"
+        f"  FROM {from_clause} WHERE ({state_filter}) AND value IS NOT NULL"
         f"), std AS (SELECT {entity}, ts, value FROM st WHERE rn = 1), "
         f"pr AS (SELECT {entity}, event_id, ts FROM {from_clause} WHERE {probe_filter}) "
         f"SELECT pr.{entity} AS {entity}, pr.event_id AS event_id, pr.ts AS ts, "

@@ -76,6 +76,9 @@ def range_join_bucketized(
     out_cols = [F.col(f"p.{c}") for c in points.columns] + [
         F.col(f"iv.{c}") for c in intervals.columns if c != key
     ]
-    return joined.select(*out_cols).dropDuplicates(
-        [c for c in points.columns] + [c for c in intervals.columns if c != key]
-    )
+    # no dedup needed: a point has exactly ONE bucket and an interval's
+    # exploded buckets are distinct, so each (point row, interval row)
+    # pair joins at most once — and a dropDuplicates over output columns
+    # would wrongly collapse legitimately duplicated input rows
+    # (ADVICE r01).
+    return joined.select(*out_cols)

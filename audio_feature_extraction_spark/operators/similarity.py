@@ -228,22 +228,29 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_fraction: float = 0.1,
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer -> inverted lists; queries
     probe their ``nprobe`` nearest centroids and scan only those lists.
 
     The scale path when data has cluster structure: candidate volume is
     ~nprobe/n_lists of the table, shuffled by list id. Centroids are fit
-    on a seeded sample driver-side (tiny k), broadcast everywhere —
-    exactly how production IVF indexes ship their codebooks.
-    (No SQL oracle: KMeans is iterative — driver records rows-only.)
+    on a seeded ``fit_fraction`` sample (KMeans over the FULL table would
+    be a multi-pass 100 TB scan per iteration; a sample estimates the same
+    cell structure), broadcast everywhere — exactly how production IVF
+    indexes ship their codebooks. (No SQL oracle: KMeans is iterative —
+    driver records rows-only; see ``ivf_topk_pivots`` for the
+    deterministic, oracle-checked variant.)
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     with_vec = emb.withColumn("_v", array_to_vector(F.col(vec_col)))
     km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
-    model = km.fit(with_vec.select("_v"))
+    fit_rows = with_vec.select("_v")
+    if fit_fraction < 1.0:
+        fit_rows = fit_rows.sample(fraction=fit_fraction, seed=seed)
+    model = km.fit(fit_rows)
     centers = [c.tolist() for c in model.clusterCenters()]
 
     lists = model.transform(with_vec).select(id_col, vec_col, "_list")
@@ -285,6 +292,126 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _sqdist_expr(a: str, b: str, spark: bool) -> str:
+    """Squared L2 distance, double precision, order-fixed sequential fold."""
+    if spark:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(cast(x as double) - cast(y as double)) * "
+            f"(cast(x as double) - cast(y as double))), "
+            f"cast(0.0 as double), (s, v) -> s + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def ivf_topk_pivots(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC coarse quantizer: the ``n_lists``
+    lowest-id vectors act as pivots (one-step k-medoids init). Everything
+    is closed-form, so the whole query has a DuckDB oracle — unlike the
+    iterative KMeans variant.
+
+    Plan shape: the pivot table aggregates to ONE array-typed row that
+    broadcast-cross-joins both sides; assignment/probing are per-row
+    higher-order-function expressions (zero extra shuffle), then the
+    candidate join is an equi-join on list id — the same 100 TB shape as
+    ``ivf_topk``.
+    """
+    cents = emb.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).cast("int").alias("l"),
+        F.col(vec_col).cast("array<double>").alias("c"),
+    )
+    # one row: sorted array of (l, c) structs (collect_list order is not
+    # deterministic — array_sort pins it)
+    cent_arr = F.broadcast(
+        cents.agg(F.array_sort(F.collect_list(F.struct("l", "c"))).alias("_cents"))
+    )
+    ranked_lists = (
+        "array_sort(transform(_cents, ct -> "
+        f"struct({_sqdist_expr(vec_col, 'ct.c', True)} AS d, ct.l AS l)))"
+    )
+    lists = (
+        emb.crossJoin(cent_arr)
+        .withColumn("_list", F.expr(f"element_at({ranked_lists}, 1).l"))
+        .select(id_col, vec_col, "_list")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    probes = (
+        q.crossJoin(cent_arr)
+        .select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.expr(
+                    f"transform(slice({ranked_lists.replace(vec_col, 'qvec')}, "
+                    f"1, {nprobe}), s -> s.l)"
+                )
+            ).alias("_list"),
+        )
+    )
+    # a vector lives in exactly one list, so probe fan-out cannot duplicate
+    # (query, neighbor) pairs — no dedup needed
+    cands = lists.join(probes, "_list").where(F.col("query_id") != F.col(id_col))
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(cosine_expr(vec_col, "qvec", spark=True)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def ivf_topk_pivots_oracle_sql(
+    query_filter: str,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    from_clause: str = "embeddings",
+) -> str:
+    dist_e = _sqdist_expr("e.embedding", "ct.c", False)
+    dist_q = _sqdist_expr("q.embedding", "ct.c", False)
+    cos = cosine_expr("e.embedding", "q.embedding", spark=False)
+    return (
+        f"WITH cents AS (SELECT list(struct_pack(l := CAST(vec_id AS INTEGER), "
+        f"c := CAST(embedding AS DOUBLE[])) ORDER BY vec_id) AS _cents "
+        f"FROM {from_clause} WHERE vec_id < {n_lists}), "
+        f"lists AS (SELECT e.vec_id, e.embedding, "
+        f"(list_sort(list_transform(_cents, ct -> "
+        f"struct_pack(d := {dist_e}, l := ct.l)))[1]).l AS _list "
+        f"FROM {from_clause} e CROSS JOIN cents), "
+        f"probes AS (SELECT q.vec_id AS query_id, q.embedding AS qvec, "
+        f"unnest(list_transform(list_sort(list_transform(_cents, ct -> "
+        f"struct_pack(d := {dist_q}, l := ct.l)))[1:{nprobe}], s -> s.l)) AS _list "
+        f"FROM (SELECT * FROM {from_clause} WHERE {query_filter}) q "
+        f"CROSS JOIN cents), "
+        f"scored AS (SELECT p.query_id, e.vec_id AS neighbor_id, "
+        f"{cos.replace('q.embedding', 'p.qvec')} AS cosine "
+        f"FROM lists e JOIN probes p ON e._list = p._list "
+        f"AND e.vec_id != p.query_id), "
+        f"ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
+        f"SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine "
+        f"FROM ranked WHERE rank <= {k}"
     )
 
 

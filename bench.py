@@ -129,10 +129,11 @@ def run_queries(parallelism: int, amplify: int = AMPLIFY, core_only: bool = Fals
     probes = ev.where(F.col("event_type") == "view")
     states = ev.where(F.col("event_type").isin("click", "purchase"))
     timed("asof_join", lambda: _noop(asof.asof_join(probes, states)))
-    timed(
-        "asof_join_bucketed",
-        lambda: _noop(asof.asof_join_bucketed(probes, states, 86400.0)),
-    )
+    # the user-facing default path: the straggler heuristic picks plain vs
+    # segmented-scan from the measured key histogram (VERDICT r01 #4 — the
+    # hard-coded bucketed variant was the wrong shape for this input; the
+    # skew regime where bucketed wins is exercised by scripts/skew_demo.py)
+    timed("asof_join_auto", lambda: _noop(asof.asof_join_auto(probes, states)))
     timed("sessionize", lambda: _noop(sessionize.session_summary(ev, 1800.0)))
     timed(
         "backfill",

@@ -101,3 +101,91 @@ def test_bucketed_zero_leakage(spark):
         for r in asof.asof_join_bucketed(probes, trimmed_states, 3600.0).collect()
     }
     assert a == b
+
+
+def _null_state_events(spark):
+    """Newest state in a bucket is null-valued (ADVICE r01 repro): a
+    transparent state must neither erase the bucket's boundary carry nor
+    advance asof_ts / refresh a TTL."""
+    import pyspark.sql.types as T
+
+    nullable = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True if f.name == "value" else f.nullable)
+            for f in EVENTS.fields
+        ]
+    )
+    rows = [
+        # entity 1: non-null state, then a LATER null state in the same
+        # hour-bucket, then probes in later buckets
+        (0, T0 + dt.timedelta(minutes=1), 1, "click", 1.0, None),
+        (1, T0 + dt.timedelta(minutes=30), 1, "click", None, None),
+        (2, T0 + dt.timedelta(hours=2), 1, "view", 0.0, None),
+        (3, T0 + dt.timedelta(hours=30), 1, "view", 0.0, None),
+        # entity 2: ONLY null states before the probe
+        (4, T0 + dt.timedelta(minutes=1), 2, "click", None, None),
+        (5, T0 + dt.timedelta(minutes=2), 2, "view", 0.0, None),
+    ]
+    return spark.createDataFrame(rows, schema=nullable)
+
+
+def test_null_states_transparent_plain(spark):
+    ev = _null_state_events(spark)
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type") == "click")
+    out = {r.event_id: r for r in asof.asof_join(probes, states).collect()}
+    # the null state at minute 30 is skipped: value AND ts come from the
+    # minute-1 row (the pair may not mix two different state rows)
+    assert out[2].asof_value == 1.0
+    assert out[2].asof_ts == T0 + dt.timedelta(minutes=1)
+    # entity 2 saw only null states -> served nothing
+    assert out[5].asof_value is None and out[5].asof_ts is None
+
+
+def test_null_state_cannot_refresh_ttl(spark):
+    ev = _null_state_events(spark)
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type") == "click")
+    # 6h TTL: probe at hour 30 is 29h59m after the non-null state; the
+    # null state at minute 30 must NOT count as a refresh
+    out = {
+        r.event_id: r
+        for r in asof.asof_join(
+            probes, states, max_staleness_seconds=21600.0
+        ).collect()
+    }
+    assert out[3].asof_value is None and out[3].asof_ts is None
+    assert out[2].asof_value == 1.0  # 1h59m old: fresh
+
+
+@pytest.mark.parametrize("bucket_seconds", [3600.0, 60.0])
+def test_bucketed_equals_plain_with_null_states(spark, bucket_seconds):
+    ev = _null_state_events(spark)
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type") == "click")
+    plain = {
+        r.event_id: (r.asof_value, r.asof_ts)
+        for r in asof.asof_join(probes, states).collect()
+    }
+    bucketed = {
+        r.event_id: (r.asof_value, r.asof_ts)
+        for r in asof.asof_join_bucketed(
+            probes, states, bucket_seconds=bucket_seconds
+        ).collect()
+    }
+    assert bucketed == plain
+    assert plain[2] == (1.0, T0 + dt.timedelta(minutes=1))
+
+
+def test_multi_null_states_transparent(spark):
+    ev = _null_state_events(spark)
+    probes = ev.where(F.col("event_type") == "view")
+    out = {
+        r.event_id: r
+        for r in asof.asof_join_multi(
+            probes, {"click": ev.where(F.col("event_type") == "click")}
+        ).collect()
+    }
+    assert out[2].asof_click == 1.0
+    assert out[2].asof_click_ts == T0 + dt.timedelta(minutes=1)
+    assert out[5].asof_click is None and out[5].asof_click_ts is None

@@ -145,3 +145,31 @@ def test_fingerprint_order_sensitive(spark):
     fps = {r.doc_id: r.fingerprint for r in textstats.fingerprints(df).collect()}
     assert fps["doc_0"] == fps["doc_2"]
     assert fps["doc_0"] != fps["doc_1"]
+
+
+def test_ann_ivf_pivots_recall_and_shape(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id % 50 = 0")
+    brute = {
+        r.query_id: r.neighbor_id
+        for r in similarity.brute_force_topk(emb, q, k=1).collect()
+    }
+    ivf = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ivf_topk_pivots(emb, q, k=1, n_lists=16, nprobe=4).collect()
+    }
+    assert set(ivf) <= set(brute)
+    hits = sum(1 for k_, v in ivf.items() if brute.get(k_) == v)
+    assert hits / len(ivf) > 0.4
+
+
+def test_ivf_kmeans_fits_on_sample(spark):
+    """fit_fraction < 1 must subsample the quantizer fit (VERDICT r01 #2)
+    and still produce k results per query."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id % 100 = 0")
+    out = similarity.ivf_topk(emb, q, k=3, fit_fraction=0.3).collect()
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_query.values())

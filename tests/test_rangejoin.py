@@ -89,3 +89,21 @@ def test_range_join_on_real_sessions(spark):
     # happens with continuous ts), so each event maps to its own session
     assert merged.where(F.col("session_id") != F.col("joined_session")).count() == 0
     assert merged.count() == ev.count()
+
+
+def test_bucketized_keeps_duplicate_points(spark, data):
+    """Duplicated input point rows are legitimate rows — the bucketized
+    formulation must emit one output row per input row, exactly like the
+    naive join (ADVICE r01: the old dropDuplicates collapsed them)."""
+    pts, ivs = data
+    doubled = pts.unionByName(pts)
+    naive = sorted(
+        (r.event_id, r.session_id)
+        for r in rangejoin.range_join(doubled, ivs).collect()
+    )
+    fast = sorted(
+        (r.event_id, r.session_id)
+        for r in rangejoin.range_join_bucketized(doubled, ivs).collect()
+    )
+    assert fast == naive
+    assert len(naive) == 8  # 4 matches, each twice
