@@ -49,6 +49,8 @@ from audio_feature_extraction_spark.sources.tokens import (
 )
 
 SPEC = FrameSpec(frame_len=16, hop=8)
+# centered grid (torch.stft center=True analog) — batch features only
+CSPEC = FrameSpec(frame_len=16, hop=8, center=True)
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 _shipped: set[int] = set()
@@ -97,6 +99,12 @@ _STAT_FIELDS = ("mean", "std", "min", "max", "distinct_ratio")
 # probe/state partition of the events table used by the PIT queries
 _PROBE_FILTER = "event_type = 'view'"
 _STATE_FILTER = "event_type IN ('click', 'purchase')"
+
+
+def _regrid_mod():
+    from audio_feature_extraction_spark.operators import regrid as rg
+
+    return rg
 
 
 def _tok_cte() -> str:
@@ -221,6 +229,23 @@ def q_frame_features_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
     widened back to double (f32->f64 is exact) for the driver hash."""
     ts = load_token_sequences(spark, sf_dir)
     return _explode_vals(framing.frame_features_compact(ts, SPEC), "features")
+
+
+def q_frames_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered frame grid (W1 center=True, design.md:538-547)."""
+    return _csv_cols(
+        framing.frame_table(load_token_sequences(spark, sf_dir), CSPEC),
+        "frame_tokens",
+    )
+
+
+def q_frame_features_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow kernel over the centered (reflect-padded) grid."""
+    ts = load_token_sequences(spark, sf_dir)
+    return _explode_vals(
+        _csv_cols(framing.frame_features_flat(ts, CSPEC), "frame_tokens"),
+        "features",
+    )
 
 
 def q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,6 +500,21 @@ def q_pit_feature_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 fractional re-grid: 2/3 downsample and 3/2 upsample with exact
+    integer linear interpolation (FR-1.3 analog)."""
+    from audio_feature_extraction_spark.operators import regrid as rg
+
+    ts = load_token_sequences(spark, sf_dir)
+    out = ts.select(
+        "doc_id",
+        F.col("n_tok").alias("original_length"),
+        F.expr(rg.regrid_expr(2, 3, spark=True)).alias("down_2_3"),
+        F.expr(rg.regrid_expr(3, 2, spark=True)).alias("up_3_2"),
+    )
+    return _csv_cols(out, "down_2_3", "up_3_2")
+
+
 def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
     out = ts.select(
@@ -629,6 +669,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_features": q_frame_features,
         "frame_features_sql": q_frame_features_sql,
         "frame_features_f32": q_frame_features_f32,
+        "frames_centered": q_frames_centered,
+        "frame_features_centered": q_frame_features_centered,
         "roundtrip": q_roundtrip,
         "asof_join": q_asof_join,
         "asof_join_ttl": q_asof_join_ttl,
@@ -669,6 +711,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_deltas": q_frame_deltas,
         "validation_counts": q_validation_counts,
         "augment": q_augment,
+        "regrid": q_regrid,
         "trailing_frames": q_trailing_frames,
         "frame_features_weighted": q_frame_features_weighted,
         "dataset_summary": q_dataset_summary,
@@ -779,6 +822,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "frame_features": frame_feat_canon,
         "frame_features_sql": frame_feat_canon,
+        "frames_centered": _sql_canon(
+            f"{_tok_cte()} {framing.centered_frames_oracle_sql(CSPEC, 'tokseq')}",
+            ["doc_id", "frame_id"],
+            csv=("frame_tokens",),
+        ),
+        "frame_features_centered": _sql_canon(
+            f"{_tok_cte()}, cframes AS "
+            f"({framing.centered_frames_oracle_sql(CSPEC, 'tokseq')}) "
+            f"SELECT doc_id, frame_id, frame_tokens, {feat} AS features, "
+            f"{stat_cols} FROM cframes",
+            ["doc_id", "frame_id"] + _stat_names,
+            csv=("frame_tokens",),
+            explode="features",
+        ),
         "frame_features_f32": _sql_canon(
             f"{_frames_cte()} SELECT doc_id, frame_id, "
             f"CAST(({feat}) AS FLOAT[]) AS features FROM frames",
@@ -954,6 +1011,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM tokseq",
             ["doc_id"],
             csv=("pitch_shifted", "stretched", "noised"),
+        ),
+        "regrid": _sql_canon(
+            f"{_tok_cte()} SELECT doc_id, n_tok AS original_length, "
+            f"{_regrid_mod().regrid_expr(2, 3, spark=False)} AS down_2_3, "
+            f"{_regrid_mod().regrid_expr(3, 2, spark=False)} AS up_3_2 "
+            f"FROM tokseq",
+            ["doc_id", "original_length"],
+            csv=("down_2_3", "up_3_2"),
         ),
         "rms": (
             f"{_tok_cte()} SELECT doc_id, "

@@ -36,6 +36,11 @@ class FrameSpec:
     top_db: float = 80.0
     # feature-hash constants (bigram hash: (t1*MULT + t2) % n_buckets)
     bigram_mult: int = 31
+    # centered framing (≙ torch.stft center=True, design.md:538-547):
+    # frame f is centered at position f*hop, boundaries reflect-padded.
+    # Batch-only: centered frames read frame_len//2 positions of
+    # LOOKAHEAD, so PIT/causal paths must refuse center=True.
+    center: bool = False
 
     def __post_init__(self) -> None:
         if self.frame_len <= 0:
@@ -57,9 +62,14 @@ class FrameSpec:
         return self.frame_len // 2 + 1
 
     def n_frames(self, n_tok: int) -> int:
-        """Number of frames over a sequence of ``n_tok`` tokens (0 if empty)."""
+        """Number of frames over a sequence of ``n_tok`` tokens (0 if empty).
+
+        Centered mode mirrors torch.stft(center=True): one frame per hop
+        multiple <= n_tok, i.e. ``n_tok // hop + 1``."""
         if n_tok <= 0:
             return 0
+        if self.center:
+            return n_tok // self.hop + 1
         return (n_tok - 1) // self.hop + 1
 
 

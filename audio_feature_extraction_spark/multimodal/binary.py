@@ -64,11 +64,34 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def _decode_real(payload: bytes, modality: str) -> np.ndarray:
-    """The real-decoder seam. Plug libvips/ffmpeg/soundfile here."""
+    """The real-decoder seam. Audio decodes for real (pure-numpy RIFF/PCM,
+    multimodal/wav.py — no codec libs needed for WAV); image/video still
+    need libvips/ffmpeg and keep the honest NotImplementedError."""
+    if modality == "audio":
+        from audio_feature_extraction_spark.multimodal.wav import decode_wav
+
+        signal, _sr = decode_wav(payload)  # ValueError on non-WAV bytes
+        return signal
     raise NotImplementedError(
-        f"no {modality} codec in this environment — install pillow/ffmpeg/"
-        f"soundfile and implement _decode_real"
+        f"no {modality} codec in this environment — install pillow/ffmpeg "
+        f"and implement _decode_real"
     )
+
+
+def _signal_features(signal: np.ndarray, dim: int) -> np.ndarray:
+    """Fixed-width summary of a variable-length decoded signal: mean of
+    |x| over ``dim`` equal segments (zero for segments past the end)."""
+    out = np.zeros(dim, dtype=np.float64)
+    n = len(signal)
+    if n == 0:
+        return out
+    a = np.abs(np.asarray(signal, dtype=np.float64))
+    bounds = (np.arange(dim + 1) * n) // dim
+    for j in range(dim):
+        lo, hi = int(bounds[j]), int(bounds[j + 1])
+        if hi > lo:
+            out[j] = a[lo:hi].mean()
+    return out
 
 
 def _decode_fake(payload: bytes, modality: str, dim: int = 16) -> np.ndarray:
@@ -98,7 +121,7 @@ def extract_media_features(
                 arr = (
                     _decode_fake(b, modality, dim)
                     if decode_stub
-                    else _decode_real(b, modality)
+                    else _signal_features(_decode_real(b, modality), dim)
                 )
                 feats.append(arr)
                 nbytes.append(len(b))

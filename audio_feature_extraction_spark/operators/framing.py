@@ -61,10 +61,51 @@ def frame_table(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
     """Long-format frame table via pure DataFrame ops (no UDF).
 
     `.explain` shows Generate(inline) over a single project — narrow, no
-    shuffle, whole-stage codegen end-to-end.
+    shuffle, whole-stage codegen end-to-end. ``spec.center=True`` switches
+    to the centered grid (reflect-padded; batch-only).
     """
-    return df.where(F.col("n_tok") > 0).select(
-        "doc_id", F.expr(frames_sql_fragment(spec))
+    frag = (
+        centered_frames_sql_fragment(spec)
+        if spec.center
+        else frames_sql_fragment(spec)
+    )
+    return df.where(F.col("n_tok") > 0).select("doc_id", F.expr(frag))
+
+
+def _centered_rc(i: str, n: str) -> str:
+    """Reflect index ``i`` into [0, n) (torch 'reflect': no edge repeat),
+    then clamp — the clamp only fires for sequences shorter than the pad,
+    where torch would error; clamping keeps ultra-short docs usable."""
+    refl = f"(CASE WHEN ({i}) < 0 THEN -({i}) WHEN ({i}) >= {n} THEN 2*{n} - 2 - ({i}) ELSE ({i}) END)"
+    return f"least(greatest({refl}, 0), {n} - 1)"
+
+
+def centered_frames_sql_fragment(spec: FrameSpec = DEFAULT_FRAME) -> str:
+    """Centered frame grid (≙ torch.stft center=True, design.md:538-547):
+    frame f covers positions [f*hop - frame_len//2, ...) reflected at the
+    boundaries; n_frames = n_tok//hop + 1. BATCH-ONLY — reads lookahead."""
+    h, l = spec.hop, spec.frame_len
+    p = l // 2
+    rc = _centered_rc(f"f*{h} - {p} + j", "n_tok")
+    return (
+        f"inline(transform(sequence(0, n_tok div {h}), "
+        f"f -> struct(cast(f as int) as frame_id, "
+        f"transform(sequence(0, {l - 1}), j -> "
+        f"element_at(tokens, cast({rc} as int) + 1)) as frame_tokens)))"
+    )
+
+
+def centered_frames_oracle_sql(
+    spec: FrameSpec = DEFAULT_FRAME, from_clause: str = "tokseq"
+) -> str:
+    h, l = spec.hop, spec.frame_len
+    p = l // 2
+    rc = _centered_rc(f"g.f*{h} - {p} + j", "t.n_tok")
+    return (
+        f"SELECT t.doc_id, CAST(g.f AS INTEGER) AS frame_id, "
+        f"list_transform(range(0, {l}), j -> t.tokens[{rc} + 1]) AS frame_tokens "
+        f"FROM {from_clause} t, unnest(range(0, (t.n_tok // {h}) + 1)) AS g(f) "
+        f"WHERE t.n_tok > 0"
     )
 
 
@@ -84,9 +125,20 @@ def trailing_frames_sql_fragment(spec: FrameSpec = DEFAULT_FRAME) -> str:
 
 
 def trailing_frame_table(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame:
+    require_causal(spec, "trailing_frame_table")
     return df.where(F.col("n_tok") > 0).select(
         "doc_id", F.expr(trailing_frames_sql_fragment(spec))
     )
+
+
+def require_causal(spec: FrameSpec, where: str) -> None:
+    """PIT/causal paths must refuse centered specs: a centered frame reads
+    frame_len//2 positions of LOOKAHEAD — temporal leakage by design."""
+    if spec.center:
+        raise ValueError(
+            f"{where} is a point-in-time (causal) path; FrameSpec(center=True) "
+            f"reads future positions and is batch-only"
+        )
 
 
 def trailing_frames_oracle_sql(
@@ -210,12 +262,34 @@ def featurize_batch(
     tok_arrays = [a for a, k in zip(tok_arrays, keep) if k]
     lens = lens[keep]
 
+    if spec.center:
+        # centered grid = reflect-pad each doc (left l//2, right l-l//2),
+        # then run the STANDARD grid over the padded arrays: frame f of
+        # the padded doc covers exactly [f*h - l//2, ...) of the original.
+        # Same clamped reflection as the SQL fragments; n_frames = n//h+1.
+        p = l // 2
+        orig_lens = lens
+        padded = []
+        for a in tok_arrays:
+            a = np.asarray(a, dtype=np.int32)
+            n_ = len(a)
+            idx = np.arange(-p, n_ + (l - p))
+            # branches EXCLUSIVE on the original index, exactly like the
+            # SQL CASE in _centered_rc (a sequential flip-then-reflect
+            # would diverge for docs shorter than the pad)
+            r = np.where(idx < 0, -idx, np.where(idx >= n_, 2 * n_ - 2 - idx, idx))
+            padded.append(a[np.clip(r, 0, n_ - 1)])
+        tok_arrays = padded
+        lens = lens + l  # padded lengths drive the offsets below
+        nf_doc = orig_lens // h + 1
+    else:
+        nf_doc = (lens - 1) // h + 1
+
     t32 = np.concatenate([np.asarray(a, dtype=np.int32) for a in tok_arrays])
     n = len(t32)
     # narrowest dtype for the sort-heavy path (vocab 32768 fits int16)
     tnarrow = t32.astype(np.int16) if t32.max(initial=0) < 32768 else t32
     doc_off = np.concatenate([[0], np.cumsum(lens)])
-    nf_doc = (lens - 1) // h + 1
     frame_off = np.concatenate([[0], np.cumsum(nf_doc)])
     total = int(frame_off[-1])
     frame_doc = np.repeat(np.arange(len(lens)), nf_doc)
@@ -347,10 +421,10 @@ def frame_features_compact(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> Da
     training pipeline ships to a feature store at 100 TB: ~4x fewer
     output bytes than the full table, bit-exact vs the oracle after the
     double->float cast (IEEE round-to-nearest in all engines)."""
-    l, h = spec.frame_len, spec.hop
+    l, h, c = spec.frame_len, spec.hop, spec.center
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kspec = FrameSpec(frame_len=l, hop=h)
+        kspec = FrameSpec(frame_len=l, hop=h, center=c)
         for pdf in batches:
             toks = [np.asarray(a) for a in pdf["tokens"]]
             ids = pdf["doc_id"].to_numpy(dtype=object)
@@ -377,10 +451,10 @@ def frame_features_flat(df: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataF
     2255-2256) — the "batch kernel" is one numpy pass per Arrow batch.
     Narrow mapInPandas stage: no shuffle, parallelism = input splits.
     """
-    l, h = spec.frame_len, spec.hop  # close over plain ints, not the spec
+    l, h, c = spec.frame_len, spec.hop, spec.center  # close over plain values
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kspec = FrameSpec(frame_len=l, hop=h)
+        kspec = FrameSpec(frame_len=l, hop=h, center=c)
         for pdf in batches:
             toks = [np.asarray(a) for a in pdf["tokens"]]
             ids = pdf["doc_id"].to_numpy(dtype=object)

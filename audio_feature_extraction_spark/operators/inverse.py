@@ -44,6 +44,12 @@ def reconstruct(frames: DataFrame, spec: FrameSpec = DEFAULT_FRAME) -> DataFrame
     Single shuffle: contributions are computed narrow, then one
     groupBy(doc_id) assembles ordered segments.
     """
+    if spec.center:
+        raise ValueError(
+            "reconstruct requires the standard (first-occurrence invertible) "
+            "grid; centered frames overlap-reflect at boundaries and are not "
+            "exactly invertible"
+        )
     contrib = _contrib_expr(spec, spark=True)
     return (
         frames.selectExpr("doc_id", "frame_id", f"{contrib} as contrib")

@@ -79,6 +79,9 @@ def stateful_frames(
     sort within micro-batch; the reference makes the same in-order
     assumption for its chunk stream, design.md:1811-1846).
     """
+    from audio_feature_extraction_spark.operators.framing import require_causal
+
+    require_causal(spec, "stateful_frames")
     l, h = spec.frame_len, spec.hop
 
     def fn(

@@ -136,3 +136,62 @@ def test_feature_vector_shape(spark, edge_seqs):
     df = _mkdf(spark, edge_seqs)
     rows = framing.frame_features(df, SPEC).collect()
     assert all(len(r.features) == SPEC.n_buckets for r in rows)
+
+
+CSPEC = FrameSpec(frame_len=16, hop=8, center=True)
+
+
+def _np_centered_frames(toks, spec):
+    """Numpy oracle: reflect (no edge repeat) with clamp, torch.stft-style."""
+    n, l, h, p = len(toks), spec.frame_len, spec.hop, spec.frame_len // 2
+    out = []
+    for f in range(n // h + 1):
+        frame = []
+        for j in range(l):
+            i = f * h - p + j
+            r = -i if i < 0 else (2 * n - 2 - i if i >= n else i)
+            frame.append(toks[min(max(r, 0), n - 1)])
+        out.append((f, frame))
+    return out
+
+
+def test_centered_grid_matches_numpy_oracle(spark, edge_seqs):
+    df = _mkdf(spark, edge_seqs)
+    got = {
+        (r.doc_id, r.frame_id): list(r.frame_tokens)
+        for r in framing.frame_table(df, CSPEC).collect()
+    }
+    for i, toks in enumerate(edge_seqs):
+        exp = _np_centered_frames(toks, CSPEC)
+        assert all(got[(f"doc_{i}", f)] == fr for f, fr in exp), i
+        assert len([k for k in got if k[0] == f"doc_{i}"]) == len(exp)
+
+
+def test_centered_kernel_equals_sql_features(spark, edge_seqs):
+    """Arrow kernel over the centered grid == featurize over the centered
+    SQL frame table, bit-identical (same contract as the standard grid)."""
+    df = _mkdf(spark, edge_seqs)
+    kern = framing.frame_features_flat(df, CSPEC).collect()
+    sql = framing.featurize_frames_sql(
+        framing.frame_table(df, CSPEC), CSPEC
+    ).collect()
+    key = lambda r: (r.doc_id, r.frame_id)  # noqa: E731
+    ks, ss = sorted(kern, key=key), sorted(sql, key=key)
+    assert len(ks) == len(ss) > 0
+    for a, b in zip(ks, ss):
+        assert key(a) == key(b)
+        assert list(a.frame_tokens) == list(b.frame_tokens)
+        assert list(a.features) == list(b.features)
+
+
+def test_centered_refused_by_pit_paths(spark, edge_seqs):
+    from audio_feature_extraction_spark.operators import inverse
+    from audio_feature_extraction_spark.streaming import stream
+
+    df = _mkdf(spark, edge_seqs)
+    with pytest.raises(ValueError, match="point-in-time"):
+        framing.trailing_frame_table(df, CSPEC)
+    with pytest.raises(ValueError, match="point-in-time"):
+        stream.stateful_frames(df, CSPEC)
+    with pytest.raises(ValueError, match="invertible"):
+        inverse.reconstruct(framing.frame_table(df, CSPEC), CSPEC)
