@@ -555,6 +555,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_token_sequences(spark, sf_dir))
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: per test-doc shingle overlap with the
+    train split (cross-split n-gram contamination check)."""
+    tagged = split.assign_split(load_token_sequences(spark, sf_dir))
+    return dedup.contamination(
+        tagged.where("split = 'test'"), tagged.where("split = 'train'")
+    )
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.brute_force_topk(
@@ -633,6 +642,15 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(load_token_sequences(spark, sf_dir))
 
 
+def q_sample_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10/F12: sequential formatted sample keys over a deterministic
+    order (the dataset writer's key scheme, design.md:1355)."""
+    from audio_feature_extraction_spark.sinks.writers import with_sample_keys
+
+    ts = load_token_sequences(spark, sf_dir)
+    return with_sample_keys(ts.select("doc_id"), ["doc_id"])
+
+
 def q_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
     return ts.select(
@@ -687,12 +705,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_normalize": q_trim_normalize,
         "mix_snr": q_mix_snr,
         "rms": q_rms,
+        "sample_keys": q_sample_keys,
         "exact_dup_groups": q_exact_dup_groups,
         "prefix_dup_groups": q_prefix_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "contamination": q_contamination,
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -922,6 +942,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": f"{_tok_cte()}, {dedup.jaccard_oracle_sql()}",
         "simhash": f"{_tok_cte()} {dedup.simhash_oracle_sql()}",
+        "contamination": (
+            f"{_tok_cte()}, "
+            + dedup.contamination_oracle_sql(
+                f"({split.split_case_sql(num_id)}) = 'train'",
+                f"({split.split_case_sql(num_id)}) = 'test'",
+            )
+        ),
         "ann_brute": similarity.brute_force_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
         "ann_lsh": similarity.lsh_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
         "ann_ivf_pivots": similarity.ivf_topk_pivots_oracle_sql(
@@ -1011,6 +1038,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM tokseq",
             ["doc_id"],
             csv=("pitch_shifted", "stretched", "noised"),
+        ),
+        "sample_keys": (
+            f"{_tok_cte()} SELECT doc_id, "
+            f"printf('sample_%06d', row_number() OVER (ORDER BY doc_id) - 1) "
+            f"AS sample_key FROM tokseq"
         ),
         "regrid": _sql_canon(
             f"{_tok_cte()} SELECT doc_id, n_tok AS original_length, "

@@ -104,6 +104,57 @@ def shingle_expr(spark: bool, col: str = "tokens") -> str:
 
 
 # ---------------------------------------------------------------------------
+# train/test contamination (cross-split n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def contamination(test_docs: DataFrame, train_docs: DataFrame) -> DataFrame:
+    """Per test-document shingle overlap with the train corpus — the
+    decontamination pass every LLM data pipeline runs before eval.
+
+    Scale shape: the train side reduces to its DISTINCT shingle set (a
+    partial-aggregated shuffle on the shingle code); the test side
+    explodes to (doc_id, shingle) and equi-joins on the shingle key. No
+    doc-by-doc comparison, no broadcast of the (huge) train set — both
+    sides shuffle-partition by shingle, the classic contamination join.
+    Docs with fewer than 2 tokens have no shingles and drop out.
+
+    Output: (doc_id, n_shingles, n_matched, overlap in [0, 1]).
+    """
+    sh = shingle_expr(spark=True)
+    train_sh = train_docs.select(F.explode(F.expr(sh)).alias("shingle")).distinct()
+    test_sh = test_docs.select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
+    hits = train_sh.withColumn("_hit", F.col("shingle"))
+    return (
+        test_sh.join(hits, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_matched"),
+        )
+        .withColumn("overlap", F.col("n_matched") / F.col("n_shingles"))
+    )
+
+
+def contamination_oracle_sql(
+    train_pred: str, test_pred: str, from_clause: str = "tokseq"
+) -> str:
+    """CTE fragment — concatenate after an existing ``WITH tokseq AS``
+    clause (``f"{{tok_cte}}, {{this}}"``), like the other dedup oracles."""
+    sh = shingle_expr(spark=False)
+    return (
+        f"trs AS (SELECT DISTINCT unnest({sh}) AS shingle "
+        f"FROM {from_clause} WHERE {train_pred}), "
+        f"tes AS (SELECT doc_id, unnest({sh}) AS shingle "
+        f"FROM {from_clause} WHERE {test_pred}) "
+        f"SELECT tes.doc_id AS doc_id, count(*) AS n_shingles, "
+        f"count(trs.shingle) AS n_matched, "
+        f"count(trs.shingle) / count(*) AS overlap "
+        f"FROM tes LEFT JOIN trs ON tes.shingle = trs.shingle "
+        f"GROUP BY tes.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

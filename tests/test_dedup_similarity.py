@@ -173,3 +173,30 @@ def test_ivf_kmeans_fits_on_sample(spark):
     for r in out:
         per_query.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3] for v in per_query.values())
+
+
+def test_contamination_planted(spark):
+    """A test doc sharing half its shingles with train must report the
+    exact planted overlap; a disjoint doc reports 0; single-token docs
+    (no shingles) drop out."""
+    from audio_feature_extraction_spark.core.schemas import TOKEN_SEQUENCES
+    from audio_feature_extraction_spark.operators import dedup
+
+    train = spark.createDataFrame(
+        [("tr_0", [1, 2, 3, 4, 5], 5, "web")], schema=TOKEN_SEQUENCES
+    )
+    # shingles of contaminated doc: (1,2), (2,3) hit; (100,101), (101,102) miss
+    test = spark.createDataFrame(
+        [
+            ("te_0", [1, 2, 3, 100, 101, 102], 6, "web"),  # hits: (1,2),(2,3)
+            ("te_1", [900, 901, 902], 3, "web"),           # disjoint
+            ("te_2", [7], 1, "web"),                       # no shingles
+        ],
+        schema=TOKEN_SEQUENCES,
+    )
+    out = {r.doc_id: r for r in dedup.contamination(test, train).collect()}
+    assert out["te_0"].n_shingles == 5
+    assert out["te_0"].n_matched == 2
+    assert out["te_0"].overlap == 2 / 5
+    assert out["te_1"].n_matched == 0 and out["te_1"].overlap == 0.0
+    assert "te_2" not in out
