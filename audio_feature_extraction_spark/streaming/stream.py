@@ -70,7 +70,9 @@ def _emit_frames(
 
 
 def stateful_frames(
-    chunks: DataFrame, spec: FrameSpec = DEFAULT_FRAME
+    chunks: DataFrame,
+    spec: FrameSpec = DEFAULT_FRAME,
+    flush_timeout_seconds: float | None = None,
 ) -> DataFrame:
     """Streaming (or batch) chunk table -> frame table with carried state.
 
@@ -78,11 +80,21 @@ def stateful_frames(
     arrive in chunk_id order per doc (enforce upstream with a watermark +
     sort within micro-batch; the reference makes the same in-order
     assumption for its chunk stream, design.md:1811-1846).
+
+    ``flush_timeout_seconds`` is the T5 state-reset lifecycle
+    (design.md:1959-1982): a doc idle for longer than the timeout has its
+    buffered tail FLUSHED as final (possibly short) frames and its state
+    dropped — without it, a stream that never ends pins every doc's tail
+    in the state store forever. Timeouts fire on the next micro-batch
+    after expiry (ProcessingTimeTimeout semantics).
     """
     from audio_feature_extraction_spark.operators.framing import require_causal
 
     require_causal(spec, "stateful_frames")
     l, h = spec.frame_len, spec.hop
+    timeout_ms = (
+        int(flush_timeout_seconds * 1000) if flush_timeout_seconds else None
+    )
 
     def fn(
         key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -94,6 +106,18 @@ def stateful_frames(
         else:
             pos, tail, next_frame = 0, [], 0
         rows = []
+        if timeout_ms is not None and state.hasTimedOut:
+            # idle doc: flush the buffered tail as final short frames and
+            # release the state (the stream treats the doc as ended)
+            frames, _, _, _ = _emit_frames(tail, pos, next_frame, kspec, flush=True)
+            state.remove()
+            for fid, ft in frames:
+                rows.append((key[0], fid, ft))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "frame_id", "frame_tokens"]
+                )
+            return
         for pdf in pdfs:
             pdf = pdf.sort_values("chunk_id")
             for toks in pdf["chunk_tokens"]:
@@ -102,6 +126,8 @@ def stateful_frames(
             tail, pos, next_frame, kspec, flush=False
         )
         state.update((pos, tail, next_frame))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         for fid, ft in frames:
             rows.append((key[0], fid, ft))
         if rows:
@@ -112,7 +138,11 @@ def stateful_frames(
         outputStructType=FRAME_OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -158,6 +188,7 @@ def stream_feature_extract(
     checkpoint_dir: str,
     spec: FrameSpec = DEFAULT_FRAME,
     latency_budget_ms: float | None = None,
+    flush_timeout_seconds: float | None = None,
 ):
     """End-to-end streaming extraction (≙ StreamPipelineExecutor,
     design.md:1811-1846): stateful frame assembly -> per-micro-batch
@@ -169,7 +200,7 @@ def stream_feature_extract(
         featurize_frames_sql,
     )
 
-    frames = stateful_frames(chunks, spec)
+    frames = stateful_frames(chunks, spec, flush_timeout_seconds)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         # idempotent commit: each micro-batch owns a batch_id directory

@@ -368,3 +368,62 @@ def test_extract_media_features_real_image_still_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_media_features(media, dim=4, decode_stub=False).collect()
+
+
+@pytest.mark.slow
+def test_state_ttl_flushes_idle_doc(spark, tmp_path):
+    """T5 state-reset lifecycle: a doc idle past flush_timeout_seconds has
+    its buffered tail flushed as final short frames and its state dropped.
+
+    NOTE: with ProcessingTimeTimeout Spark keeps scheduling timeout-sweep
+    micro-batches, so processAllAvailable() never settles — the test polls
+    the memory sink instead (a paced processingTime trigger bounds the
+    sweep rate, as a production deployment would)."""
+    import time as _t
+
+    spec = FrameSpec(frame_len=4, hop=2)
+    src = tmp_path / "chunks"
+    src.mkdir()
+
+    def write_batch(path, rows):
+        spark.createDataFrame(rows, stream.CHUNK_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def poll(pred, deadline=90.0):
+        t0 = _t.time()
+        while _t.time() - t0 < deadline:
+            rows = {
+                (r.doc_id, r.frame_id, tuple(r.frame_tokens))
+                for r in spark.sql("select * from ttl_out").collect()
+            }
+            if pred(rows):
+                return rows
+            _t.sleep(0.5)
+        raise AssertionError(f"poll deadline: {rows}")
+
+    # doc 'd': 6 tokens -> frames 0,1 emitted, tail [4, 5] buffered
+    write_batch(str(src / "b1"), [("d", 0, [0, 1, 2, 3, 4, 5])])
+    chunks = (
+        spark.readStream.schema(stream.CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    frames = stream.stateful_frames(chunks, spec, flush_timeout_seconds=1.0)
+    q = (
+        frames.writeStream.format("memory")
+        .queryName("ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        poll(lambda rows: ("d", 1, (2, 3, 4, 5)) in rows)
+        # idle past the TTL: the sweep flushes the tail as frame 2
+        got = poll(lambda rows: ("d", 2, (4, 5)) in rows)
+    finally:
+        q.stop()
+    assert ("d", 0, (0, 1, 2, 3)) in got
+    assert ("d", 1, (2, 3, 4, 5)) in got
+    assert ("d", 2, (4, 5)) in got
