@@ -537,8 +537,10 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-kernel signatures checked against the DuckDB SQL twin."""
     return _csv_cols(
-        dedup.minhash_signatures(load_token_sequences(spark, sf_dir)), "signature"
+        dedup.minhash_signatures_kernel(load_token_sequences(spark, sf_dir)),
+        "signature",
     )
 
 

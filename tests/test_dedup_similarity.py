@@ -200,3 +200,48 @@ def test_contamination_planted(spark):
     assert out["te_0"].overlap == 2 / 5
     assert out["te_1"].n_matched == 0 and out["te_1"].overlap == 0.0
     assert "te_2" not in out
+
+
+def test_minhash_kernel_equals_sql(spark):
+    """The vectorized kernel and the SQL higher-order-function path are
+    bit-identical, including empty/single-token docs (sentinel prime)."""
+    from audio_feature_extraction_spark.core.schemas import TOKEN_SEQUENCES
+
+    seqs = [
+        list(range(100, 160)),
+        [7],            # no shingles -> sentinel
+        [1, 2],
+        [5, 5, 5, 5],   # duplicate shingles (min unaffected)
+        [],
+    ]
+    df = spark.createDataFrame(
+        [(f"doc_{i}", t, len(t), "web") for i, t in enumerate(seqs)],
+        schema=TOKEN_SEQUENCES,
+    )
+    kern = {
+        r.doc_id: list(r.signature)
+        for r in dedup.minhash_signatures_kernel(df).collect()
+    }
+    sql = {
+        r.doc_id: list(r.signature)
+        for r in dedup.minhash_signatures(df).collect()
+    }
+    assert kern == sql
+    assert len(kern) == 5
+    assert kern["doc_1"] == [dedup.DEFAULT_MINHASH.prime] * 16
+
+
+def test_lsh_pairs_kernel_equals_sql_path(spark):
+    ts = spark.read.parquet(f"{SF}/documents.parquet")  # not used; use tokseq
+    from audio_feature_extraction_spark.sources.tokens import load_token_sequences
+
+    tok = load_token_sequences(spark, SF)
+    k = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(tok, use_kernel=True).collect()
+    }
+    s = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(tok, use_kernel=False).collect()
+    }
+    assert k == s and len(k) > 0
