@@ -34,6 +34,7 @@ from audio_feature_extraction_spark.operators import (
     framing,
     inverse,
     mixer,
+    mixing,
     preprocess,
     sessionize,
     similarity,
@@ -557,6 +558,30 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_token_sequences(spark, sf_dir))
 
 
+_MIX_RATES = {"web": 1.5, "wiki": 2.0, "books": 0.25}
+_MIX_DEFAULT = 0.5
+_PACK_BLOCK = 4096
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing: per-source sampling rates with upsampling
+    epochs (deterministic hash, no RNG)."""
+    from audio_feature_extraction_spark.operators import mixing
+
+    ts = load_token_sequences(spark, sf_dir)
+    out = mixing.sample_by_rates(ts, _MIX_RATES, default=_MIX_DEFAULT)
+    return out.select("doc_id", "source", "n_tok", "epoch")
+
+
+def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: docs -> fixed 4096-token training
+    blocks, one row per (doc, block) slice."""
+    from audio_feature_extraction_spark.operators import mixing
+
+    ts = load_token_sequences(spark, sf_dir)
+    return mixing.pack_blocks(ts, _PACK_BLOCK)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: per test-doc shingle overlap with the
     train split (cross-split n-gram contamination check)."""
@@ -715,6 +740,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "contamination": q_contamination,
+        "corpus_mix": q_corpus_mix,
+        "pack_blocks": q_pack_blocks,
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1040,6 +1067,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM tokseq",
             ["doc_id"],
             csv=("pitch_shifted", "stretched", "noised"),
+        ),
+        "corpus_mix": (
+            f"{_tok_cte()} SELECT doc_id, source, n_tok, epoch FROM ("
+            + mixing.sample_by_rates_oracle_sql(_MIX_RATES, default=_MIX_DEFAULT)
+            + ") _m"
+        ),
+        "pack_blocks": (
+            f"{_tok_cte()}, "
+            + mixing.pack_blocks_oracle_sql(_PACK_BLOCK)
         ),
         "sample_keys": (
             f"{_tok_cte()} SELECT doc_id, "
