@@ -189,3 +189,43 @@ def test_params_join_broadcasts(spark):
     )
     out = inverse.reconstruct_with_params(frames, params)
     assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_round2_ops_plan_shapes(spark):
+    """Round-2 operators keep the 100 TB shapes: narrow where possible,
+    one exchange where a prefix-scan is inherent."""
+    from audio_feature_extraction_spark.operators import dedup, mixing, regrid
+
+    ts = load_token_sequences(spark, SF)
+    # regrid: pure projection — no shuffle
+    assert _n_exchanges(regrid.regrid(ts, 3, 2)) == 0
+    # centered frame grid: generator over a project — no shuffle
+    cspec = FrameSpec(frame_len=16, hop=8, center=True)
+    assert _n_exchanges(framing.frame_table(ts, cspec)) == 0
+    assert _n_exchanges(framing.frame_features_flat(ts, cspec)) == 0
+    # corpus mixing: generator + filter — no shuffle
+    assert _n_exchanges(mixing.sample_by_rates(ts, {"web": 1.5})) == 0
+    # minhash kernel: narrow mapInPandas — no shuffle
+    assert _n_exchanges(dedup.minhash_signatures_kernel(ts)) == 0
+    # sequence packing: exactly the one prefix-sum exchange
+    assert _n_exchanges(mixing.pack_blocks(ts, 4096)) == 1
+
+
+def test_contamination_degrades_to_shuffle_join(spark):
+    """At sf0.001 Catalyst correctly broadcasts the tiny distinct-shingle
+    set; the 100 TB guarantee is that WITHOUT a broadcastable side the
+    plan is a shingle-key shuffle join (never a nested loop)."""
+    from audio_feature_extraction_spark.operators import dedup, split
+
+    tagged = split.assign_split(load_token_sequences(spark, SF))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = dedup.contamination(
+            tagged.where("split = 'test'"), tagged.where("split = 'train'")
+        )
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
