@@ -400,6 +400,47 @@ def q_trim_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_vals(_csv_cols(out, "trimmed"), "normalized")
 
 
+def q_process_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: composed trim -> fix-length with original-length lineage."""
+    ts = load_token_sequences(spark, sf_dir)
+    out = preprocess.process(
+        ts, trim_threshold=8192, target_length=64, pad_mode="constant"
+    )
+    return _csv_cols(
+        out.select("doc_id", "original_length", "tokens", "n_tok"), "tokens"
+    )
+
+
+_SPEC2 = FrameSpec(frame_len=12, hop=6)
+
+
+def q_reconstruct_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: mixed-grid dataset inverts correctly via the broadcast
+    reconstruction-params join (each doc reconstructs with ITS grid)."""
+    ts = load_token_sequences(spark, sf_dir)
+    num = F.regexp_replace("doc_id", "[^0-9]", "").cast("bigint")
+    even, odd = ts.where(num % 2 == 0), ts.where(num % 2 == 1)
+    frames = framing.frame_table(even, SPEC).unionByName(
+        framing.frame_table(odd, _SPEC2)
+    )
+    params = ts.select(
+        "doc_id",
+        F.when(num % 2 == 0, F.lit(SPEC.frame_len))
+        .otherwise(_SPEC2.frame_len)
+        .alias("frame_len"),
+        F.when(num % 2 == 0, F.lit(SPEC.hop)).otherwise(_SPEC2.hop).alias("hop"),
+    )
+    rec = inverse.reconstruct_with_params(frames, params).select(
+        "doc_id", F.xxhash64("tokens").alias("_rec_h")
+    )
+    orig = ts.where(F.col("n_tok") > 0).select(
+        "doc_id", F.xxhash64("tokens").alias("_orig_h")
+    )
+    return orig.join(rec, "doc_id", "left").select(
+        "doc_id", (F.col("_orig_h") == F.col("_rec_h")).alias("ok")
+    )
+
+
 def q_mix_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
     # deterministic clean/noise partition by numeric id parity
@@ -731,6 +772,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjust_length": q_adjust_length,
         "trim_normalize": q_trim_normalize,
         "mix_snr": q_mix_snr,
+        "process_chain": q_process_chain,
+        "reconstruct_params": q_reconstruct_params,
         "rms": q_rms,
         "sample_keys": q_sample_keys,
         "exact_dup_groups": q_exact_dup_groups,
@@ -958,6 +1001,29 @@ def oracle_sql() -> dict[str, str]:
             mix_sql,
             ["doc_id", "noise_doc_id", "rms_clean", "rms_noise", "gain"],
             explode="mixed",
+        ),
+        "process_chain": _sql_canon(
+            f"{_tok_cte()}, trimmed AS (SELECT doc_id, n_tok AS original_length, "
+            f"{preprocess.trim_expr(8192, spark=False)} AS tokens FROM tokseq), "
+            f"adj AS (SELECT doc_id, original_length, "
+            f"{preprocess.adjust_length_expr(64, 'constant', 0, spark=False)} "
+            f"AS tokens FROM trimmed) "
+            f"SELECT doc_id, original_length, tokens, "
+            f"CAST(len(tokens) AS INTEGER) AS n_tok FROM adj",
+            ["doc_id", "original_length", "n_tok"],
+            csv=("tokens",),
+        ),
+        "reconstruct_params": (
+            f"{_tok_cte()}, "
+            f"ev AS (SELECT * FROM tokseq WHERE {num_id} % 2 = 0), "
+            f"od AS (SELECT * FROM tokseq WHERE {num_id} % 2 = 1), "
+            f"f1 AS ({framing.frames_oracle_sql(SPEC, 'ev')}), "
+            f"f2 AS ({framing.frames_oracle_sql(_SPEC2, 'od')}), "
+            f"r1 AS ({inverse.reconstruct_oracle_sql(SPEC, 'f1')}), "
+            f"r2 AS ({inverse.reconstruct_oracle_sql(_SPEC2, 'f2')}), "
+            f"rec AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2) "
+            f"SELECT t.doc_id AS doc_id, (t.tokens = r.tokens) AS ok "
+            f"FROM tokseq t LEFT JOIN rec r USING (doc_id) WHERE t.n_tok > 0"
         ),
         "exact_dup_groups": dedup.exact_dup_oracle_sql(),
         "prefix_dup_groups": dedup.prefix_dup_oracle_sql(40),
