@@ -400,6 +400,28 @@ def q_trim_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_vals(_csv_cols(out, "trimmed"), "normalized")
 
 
+_TARGET_FRAMES = 6
+
+
+def q_adjust_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: fix the frame grid to exactly 6 frames/doc — center crop long
+    docs, pad short ones with -80 dB rows (null stats). 'random' crop
+    uses xxhash64 (no DuckDB twin) and stays pytest-covered."""
+    ts = load_token_sequences(spark, sf_dir)
+    feats = framing.frame_features(ts, SPEC)
+    adj = preprocess.adjust_frames(
+        feats, _TARGET_FRAMES, SPEC.n_buckets, crop="center"
+    )
+    flat = adj.select(
+        "doc_id",
+        "frame_id",
+        "frame_tokens",
+        "features",
+        *[F.col(f"stats.{f}").alias(f"stat_{f}") for f in _STAT_FIELDS],
+    )
+    return _explode_vals(_csv_cols(flat, "frame_tokens"), "features")
+
+
 def q_process_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: composed trim -> fix-length with original-length lineage."""
     ts = load_token_sequences(spark, sf_dir)
@@ -773,6 +795,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_normalize": q_trim_normalize,
         "mix_snr": q_mix_snr,
         "process_chain": q_process_chain,
+        "adjust_frames": q_adjust_frames,
         "reconstruct_params": q_reconstruct_params,
         "rms": q_rms,
         "sample_keys": q_sample_keys,
@@ -895,6 +918,29 @@ def oracle_sql() -> dict[str, str]:
         f"ON i.noise_idx = (c.num_id * {mixer.PAIR_MULT} + {mixer.PAIR_OFF}) % n.cnt"
     )
     _stat_names = [f"stat_{k}" for k in st]
+    _t = _TARGET_FRAMES
+    _start = f"(c._n - {_t}) // 2"
+    _pad_feats = (
+        f"list_transform(range(0, {SPEC.n_buckets}), x -> CAST(-80.0 AS DOUBLE))"
+    )
+    _null_stats = ", ".join(
+        f"CAST(NULL AS {'INTEGER' if k in ('min', 'max') else 'DOUBLE'}) AS stat_{k}"
+        for k in st
+    )
+    adjust_frames_sql = (
+        f"{_frames_cte()}, feats AS (SELECT doc_id, frame_id, frame_tokens, "
+        f"{feat} AS features, {stat_cols} FROM frames), "
+        f"cnt AS (SELECT doc_id, max(frame_id) + 1 AS _n FROM feats GROUP BY doc_id), "
+        f"crop AS (SELECT f.doc_id, CAST(f.frame_id - ({_start}) AS INTEGER) AS frame_id, "
+        f"f.frame_tokens, f.features, {', '.join('f.stat_' + k for k in st)} "
+        f"FROM feats f JOIN cnt c USING (doc_id) WHERE c._n >= {_t} "
+        f"AND f.frame_id >= {_start} AND f.frame_id < {_start} + {_t}), "
+        f"short AS (SELECT f.* FROM feats f JOIN cnt c USING (doc_id) WHERE c._n < {_t}), "
+        f"pad AS (SELECT c.doc_id, CAST(g.fid AS INTEGER) AS frame_id, "
+        f"CAST([] AS INTEGER[]) AS frame_tokens, {_pad_feats} AS features, {_null_stats} "
+        f"FROM cnt c, unnest(range(c._n, {_t})) AS g(fid) WHERE c._n < {_t}) "
+        f"SELECT * FROM crop UNION ALL SELECT * FROM short UNION ALL SELECT * FROM pad"
+    )
     frame_feat_canon = _sql_canon(
         frame_feat_sql,
         ["doc_id", "frame_id"] + _stat_names,
@@ -1001,6 +1047,12 @@ def oracle_sql() -> dict[str, str]:
             mix_sql,
             ["doc_id", "noise_doc_id", "rms_clean", "rms_noise", "gain"],
             explode="mixed",
+        ),
+        "adjust_frames": _sql_canon(
+            adjust_frames_sql,
+            ["doc_id", "frame_id"] + _stat_names,
+            csv=("frame_tokens",),
+            explode="features",
         ),
         "process_chain": _sql_canon(
             f"{_tok_cte()}, trimmed AS (SELECT doc_id, n_tok AS original_length, "
