@@ -148,6 +148,72 @@ def _tables_union_sql(
     )
 
 
+def lsh_buckets_kernel(
+    df: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str | None = None,
+) -> DataFrame:
+    """Arrow-kernel twin of ``_tables_expr``: (id, vec, tbl, bucket) rows.
+
+    Bit-identical to the SQL formulation: the hyperplane dot is evaluated
+    as a SEQUENTIAL left fold over dimensions (``acc += v[:, i] * c_i``
+    vectorized across rows adds in exactly the SQL ``aggregate`` order),
+    so the float64 rounding — and therefore every sign — matches. The
+    interpreted SQL lambdas re-evaluate n_tables*n_planes transforms per
+    row and dominate the ANN bench, like MinHash before its kernel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_id = out_id or id_col
+    n_hp = n_tables * n_planes
+
+    def run(batches):
+        # coef[p, i] = ((p*1009 + i*9176 + 13) % 2001) - 1000
+        P = np.arange(n_hp, dtype=np.int64)[:, None]
+        I = np.arange(dim, dtype=np.int64)[None, :]
+        coef = ((P * 1009 + I * 9176 + 13) % 2001 - 1000).astype(np.float64)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64)[:dim] for v in pdf[vec_col]]
+            )
+            # sequential left fold over dims — matches SQL aggregate()
+            dots = np.zeros((n, n_hp), dtype=np.float64)
+            for i in range(dim):
+                dots += V[:, i : i + 1] * coef[:, i][None, :]
+            bits = (dots > 0).astype(np.int64)
+            weights = 1 << (np.arange(n_hp, dtype=np.int64) % n_planes)
+            weighted = bits * weights[None, :]
+            buckets = weighted.reshape(n, n_tables, n_planes).sum(axis=2)
+            out = pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    vec_col: [
+                        v for v in pdf[vec_col] for _ in range(n_tables)
+                    ],
+                    "tbl": np.tile(
+                        np.arange(n_tables, dtype=np.int32), n
+                    ),
+                    "bucket": buckets.ravel().astype(np.int32),
+                }
+            )
+            yield out
+
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        run,
+        schema=f"{out_id} {id_type}, {vec_col} {vec_type}, tbl int, bucket int",
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -157,18 +223,25 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to hyperplane buckets,
     OR-amplified across ``n_tables`` independent hash tables. Equi-join
     on (tbl, bucket) instead of a cross join — the 100 TB shape. Recall
     < 1 by design; tested against the brute-force baseline."""
-    texpr = _tables_expr(n_tables, n_planes, dim, vec_col)
-    e = emb.select(F.col(id_col), F.col(vec_col), F.expr(texpr))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.expr(texpr),
-    )
+    if use_kernel:
+        e = lsh_buckets_kernel(emb, n_tables, n_planes, dim, id_col, vec_col)
+        q = lsh_buckets_kernel(
+            queries, n_tables, n_planes, dim, id_col, vec_col, out_id="query_id"
+        ).withColumnRenamed(vec_col, "qvec")
+    else:
+        texpr = _tables_expr(n_tables, n_planes, dim, vec_col)
+        e = emb.select(F.col(id_col), F.col(vec_col), F.expr(texpr))
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.expr(texpr),
+        )
     cands = (
         e.join(q, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col(id_col))
@@ -423,11 +496,15 @@ def embedding_near_dups(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, bucket-restricted
     across n_tables hash tables (embedding analog of MinHash-LSH dedup)."""
-    texpr = _tables_expr(n_tables, n_planes, dim, vec_col)
-    e = emb.select(F.col(id_col), F.col(vec_col), F.expr(texpr))
+    if use_kernel:
+        e = lsh_buckets_kernel(emb, n_tables, n_planes, dim, id_col, vec_col)
+    else:
+        texpr = _tables_expr(n_tables, n_planes, dim, vec_col)
+        e = emb.select(F.col(id_col), F.col(vec_col), F.expr(texpr))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(

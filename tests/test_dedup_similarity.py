@@ -245,3 +245,35 @@ def test_lsh_pairs_kernel_equals_sql_path(spark):
         for r in dedup.lsh_candidate_pairs(tok, use_kernel=False).collect()
     }
     assert k == s and len(k) > 0
+
+
+def test_lsh_buckets_kernel_equals_sql(spark):
+    """Kernel hyperplane buckets == SQL HOF buckets, bit-for-bit (the
+    sequential numpy fold reproduces aggregate()'s rounding order)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    kern = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in similarity.lsh_buckets_kernel(emb, 4, 4, 64).collect()
+    }
+    texpr = similarity._tables_expr(4, 4, 64)
+    from pyspark.sql import functions as F
+
+    sql = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in emb.select(F.col("vec_id"), F.expr(texpr)).collect()
+    }
+    assert kern == sql and len(kern) == emb.count() * 4
+
+
+def test_lsh_topk_kernel_equals_sql_path(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id % 100 = 0")
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, q, k=5, use_kernel=True).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, q, k=5, use_kernel=False).collect()
+    )
+    assert a == b and len(a) > 0
