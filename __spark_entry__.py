@@ -741,6 +741,23 @@ def q_sample_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_sample_keys(ts.select("doc_id"), ["doc_id"])
 
 
+def q_metadata_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F14: the writer's JSON metadata encode + formatted timestamp
+    key — engine-identical for int/string fields (probed: Spark to_json
+    == DuckDB to_json, date_format == strftime; float fields would NOT
+    format identically and stay out of oracle-checked JSON)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "user_id", "event_type")).alias(
+            "meta_json"
+        ),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_key"
+        ),
+    )
+
+
 def q_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
     return ts.select(
@@ -799,6 +816,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconstruct_params": q_reconstruct_params,
         "rms": q_rms,
         "sample_keys": q_sample_keys,
+        "metadata_json": q_metadata_json,
         "exact_dup_groups": q_exact_dup_groups,
         "prefix_dup_groups": q_prefix_dup_groups,
         "minhash_signatures": q_minhash_signatures,
@@ -1194,6 +1212,12 @@ def oracle_sql() -> dict[str, str]:
         "pack_blocks": (
             f"{_tok_cte()}, "
             + mixing.pack_blocks_oracle_sql(_PACK_BLOCK)
+        ),
+        "metadata_json": (
+            "SELECT event_id, "
+            "to_json(struct_pack(event_id := event_id, user_id := user_id, "
+            "event_type := event_type))::VARCHAR AS meta_json, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_key FROM events"
         ),
         "sample_keys": (
             f"{_tok_cte()} SELECT doc_id, "
