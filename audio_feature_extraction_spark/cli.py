@@ -149,6 +149,76 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """MinHash-LSH near-dup report: candidate pairs + exact Jaccard."""
+    from audio_feature_extraction_spark.operators import dedup
+
+    spark = get_spark(app_name="afes-dedup")
+    ts = load_token_sequences(spark, args.input)
+    pairs = dedup.jaccard_on_pairs(
+        dedup.lsh_candidate_pairs(ts, max_bucket_size=args.max_bucket), ts
+    ).where(F.col("jaccard") >= args.threshold)
+    pairs.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"command": "dedup", "pairs": pairs.count(),
+                      "threshold": args.threshold}))
+    spark.stop()
+    return 0
+
+
+def cmd_decontaminate(args) -> int:
+    """Cross-split shingle-overlap report for the deterministic split."""
+    from audio_feature_extraction_spark.operators import dedup
+
+    spark = get_spark(app_name="afes-decon")
+    tagged = split_op.assign_split(load_token_sequences(spark, args.input))
+    out = dedup.contamination(
+        tagged.where(F.col("split") == "test"),
+        tagged.where(F.col("split") == "train"),
+        n=args.ngram,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    hot = out.where(F.col("overlap") >= args.threshold).count()
+    print(json.dumps({"command": "decontaminate", "test_docs": out.count(),
+                      "contaminated": hot, "threshold": args.threshold}))
+    spark.stop()
+    return 0
+
+
+def cmd_mix_corpus(args) -> int:
+    """Weighted domain mixing: --rate web=1.5 --rate books=0.25 ..."""
+    from audio_feature_extraction_spark.operators import mixing
+
+    spark = get_spark(app_name="afes-mix-corpus")
+    rates = {}
+    for spec in args.rate or []:
+        src, _, r = spec.partition("=")
+        rates[src] = float(r)
+    ts = load_token_sequences(spark, args.input)
+    out = mixing.sample_by_rates(ts, rates, default=args.default_rate)
+    out.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = ts.count(), out.count()
+    print(json.dumps({"command": "mix-corpus", "docs_in": n_in,
+                      "rows_out": n_out, "rates": rates,
+                      "default": args.default_rate}))
+    spark.stop()
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Sequence-packing manifest into fixed-length training blocks."""
+    from audio_feature_extraction_spark.operators import mixing
+
+    spark = get_spark(app_name="afes-pack")
+    ts = load_token_sequences(spark, args.input)
+    out = mixing.pack_blocks(ts, args.block_len)
+    out.write.mode("overwrite").parquet(args.output)
+    n_blocks = out.select("source", "block_id").distinct().count()
+    print(json.dumps({"command": "pack", "slices": out.count(),
+                      "blocks": n_blocks, "block_len": args.block_len}))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="audio_feature_extraction_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -184,6 +254,33 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("pit", help="point-in-time feature serving over events")
     common(sp)
     sp.set_defaults(fn=cmd_pit)
+
+    sp = sub.add_parser("dedup", help="MinHash-LSH near-dup pairs + Jaccard")
+    common(sp)
+    sp.add_argument("--threshold", type=float, default=0.7)
+    sp.add_argument("--max-bucket", type=int, default=1000)
+    sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser(
+        "decontaminate", help="train/test shingle-overlap contamination report"
+    )
+    common(sp)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--ngram", type=int, default=8)
+    sp.set_defaults(fn=cmd_decontaminate)
+
+    sp = sub.add_parser(
+        "mix-corpus", help="weighted domain mixing (--rate src=1.5, repeatable)"
+    )
+    common(sp)
+    sp.add_argument("--rate", action="append")
+    sp.add_argument("--default-rate", type=float, default=1.0)
+    sp.set_defaults(fn=cmd_mix_corpus)
+
+    sp = sub.add_parser("pack", help="sequence-packing manifest (fixed blocks)")
+    common(sp)
+    sp.add_argument("--block-len", type=int, default=4096)
+    sp.set_defaults(fn=cmd_pack)
 
     args = p.parse_args(argv)
     return args.fn(args)

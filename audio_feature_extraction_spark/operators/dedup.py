@@ -88,18 +88,50 @@ def prefix_dup_oracle_sql(prefix_len: int = 40, from_clause: str = "documents") 
 # shingles (token bigrams) — shared by MinHash / Jaccard
 # ---------------------------------------------------------------------------
 
-def shingle_expr(spark: bool, col: str = "tokens") -> str:
-    """Distinct bigram shingle codes: s_i = t_i * 32768 + t_{i+1} (< 2^30)."""
-    if spark:
+def shingle_expr(spark: bool, col: str = "tokens", n: int = 2) -> str:
+    """Distinct n-gram shingle codes.
+
+    n=2 (default, used by MinHash/Jaccard): exact code
+    ``t_i * 32768 + t_{i+1}`` (< 2^30, collision-free).
+    n>2 (contamination uses n=8): rolling polynomial hash
+    ``h = (h * 32768 + t) % (2^31 - 1)`` folded over the window —
+    every intermediate < 2^46, so Spark/DuckDB int64 arithmetic agrees;
+    collisions are astronomically rare at corpus scale and harmless for
+    overlap ESTIMATION (not exact-match claims).
+    """
+    if n == 2:
+        if spark:
+            return (
+                f"array_distinct(filter(transform(sequence(1, size({col})), "
+                f"i -> case when i < size({col}) then "
+                f"element_at({col}, cast(i as int)) * 32768 + element_at({col}, cast(i+1 as int)) "
+                f"else -1 end), s -> s >= 0))"
+            )
         return (
-            f"array_distinct(filter(transform(sequence(1, size({col})), "
-            f"i -> case when i < size({col}) then "
-            f"element_at({col}, cast(i as int)) * 32768 + element_at({col}, cast(i+1 as int)) "
-            f"else -1 end), s -> s >= 0))"
+            f"list_distinct(list_transform(range(1, len({col})), "
+            f"i -> {col}[i] * 32768 + {col}[i+1]))"
         )
+    p = 2147483647
+    if spark:
+        roll = (
+            f"aggregate(sequence(0, {n - 1}), 0L, "
+            f"(h, k) -> (h * 32768 + element_at({col}, cast(i + k as int))) % {p})"
+        )
+        return (
+            f"case when size({col}) < {n} then cast(array() as array<bigint>) "
+            f"else array_distinct(transform(sequence(1, size({col}) - {n - 1}), "
+            f"i -> {roll})) end"
+        )
+    # 2-arg list_reduce seeds with the first element — identical to the
+    # Spark fold from 0 because 0*32768 + t0 = t0
+    roll = (
+        f"list_reduce(list_transform(range(0, {n}), k -> CAST({col}[i + k] AS BIGINT)), "
+        f"(h, t) -> (h * 32768 + t) % {p})"
+    )
     return (
-        f"list_distinct(list_transform(range(1, len({col})), "
-        f"i -> {col}[i] * 32768 + {col}[i+1]))"
+        f"CASE WHEN len({col}) < {n} THEN CAST([] AS BIGINT[]) "
+        f"ELSE list_distinct(list_transform(range(1, len({col}) - {n - 2}), "
+        f"i -> {roll})) END"
     )
 
 
@@ -107,7 +139,9 @@ def shingle_expr(spark: bool, col: str = "tokens") -> str:
 # train/test contamination (cross-split n-gram overlap)
 # ---------------------------------------------------------------------------
 
-def contamination(test_docs: DataFrame, train_docs: DataFrame) -> DataFrame:
+def contamination(
+    test_docs: DataFrame, train_docs: DataFrame, n: int = 8
+) -> DataFrame:
     """Per test-document shingle overlap with the train corpus — the
     decontamination pass every LLM data pipeline runs before eval.
 
@@ -119,8 +153,10 @@ def contamination(test_docs: DataFrame, train_docs: DataFrame) -> DataFrame:
     Docs with fewer than 2 tokens have no shingles and drop out.
 
     Output: (doc_id, n_shingles, n_matched, overlap in [0, 1]).
+    ``n`` is the shingle width — 8-gram by default (bigrams saturate on
+    templated text; decontamination pipelines use 8-13-gram overlap).
     """
-    sh = shingle_expr(spark=True)
+    sh = shingle_expr(spark=True, n=n)
     train_sh = train_docs.select(F.explode(F.expr(sh)).alias("shingle")).distinct()
     test_sh = test_docs.select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
     hits = train_sh.withColumn("_hit", F.col("shingle"))
@@ -136,11 +172,11 @@ def contamination(test_docs: DataFrame, train_docs: DataFrame) -> DataFrame:
 
 
 def contamination_oracle_sql(
-    train_pred: str, test_pred: str, from_clause: str = "tokseq"
+    train_pred: str, test_pred: str, from_clause: str = "tokseq", n: int = 8
 ) -> str:
     """CTE fragment — concatenate after an existing ``WITH tokseq AS``
     clause (``f"{{tok_cte}}, {{this}}"``), like the other dedup oracles."""
-    sh = shingle_expr(spark=False)
+    sh = shingle_expr(spark=False, n=n)
     return (
         f"trs AS (SELECT DISTINCT unnest({sh}) AS shingle "
         f"FROM {from_clause} WHERE {train_pred}), "

@@ -194,7 +194,7 @@ def test_contamination_planted(spark):
         ],
         schema=TOKEN_SEQUENCES,
     )
-    out = {r.doc_id: r for r in dedup.contamination(test, train).collect()}
+    out = {r.doc_id: r for r in dedup.contamination(test, train, n=2).collect()}
     assert out["te_0"].n_shingles == 5
     assert out["te_0"].n_matched == 2
     assert out["te_0"].overlap == 2 / 5
@@ -277,3 +277,28 @@ def test_lsh_topk_kernel_equals_sql_path(spark):
         for r in similarity.lsh_topk(emb, q, k=5, use_kernel=False).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_contamination_8gram(spark):
+    """Default 8-gram shingles: a verbatim 8-token span from train inside
+    a test doc is flagged; short docs (< 8 tokens) have no shingles."""
+    from audio_feature_extraction_spark.core.schemas import TOKEN_SEQUENCES
+    from audio_feature_extraction_spark.operators import dedup
+
+    span = list(range(1, 13))  # 12 tokens -> 5 8-gram shingles
+    train = spark.createDataFrame(
+        [("tr_0", span, len(span), "web")], schema=TOKEN_SEQUENCES
+    )
+    test = spark.createDataFrame(
+        [
+            # first 8 tokens copied verbatim, then diverges
+            ("te_0", span[:8] + [500, 501, 502, 503], 12, "web"),
+            ("te_1", [900] * 12, 12, "web"),   # disjoint
+            ("te_2", list(range(7)), 7, "web"),  # too short for 8-grams
+        ],
+        schema=TOKEN_SEQUENCES,
+    )
+    out = {r.doc_id: r for r in dedup.contamination(test, train).collect()}
+    assert out["te_0"].n_matched == 1 and out["te_0"].n_shingles == 5
+    assert out["te_1"].n_matched == 0
+    assert "te_2" not in out
