@@ -232,7 +232,6 @@ def test_minhash_kernel_equals_sql(spark):
 
 
 def test_lsh_pairs_kernel_equals_sql_path(spark):
-    ts = spark.read.parquet(f"{SF}/documents.parquet")  # not used; use tokseq
     from audio_feature_extraction_spark.sources.tokens import load_token_sequences
 
     tok = load_token_sequences(spark, SF)
