@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from audio_feature_extraction_spark.core.errors import InvalidConfigError
+
 
 @dataclass(frozen=True)
 class FrameSpec:
@@ -44,17 +46,17 @@ class FrameSpec:
 
     def __post_init__(self) -> None:
         if self.frame_len <= 0:
-            raise ValueError(f"frame_len must be positive, got {self.frame_len}")
+            raise InvalidConfigError(f"frame_len must be positive, got {self.frame_len}")
         if self.hop <= 0:
-            raise ValueError(f"hop must be positive, got {self.hop}")
+            raise InvalidConfigError(f"hop must be positive, got {self.hop}")
         # invariant carried from the reference: hop_length <= n_fft
         # (design.md:203-204) — guarantees full coverage / invertibility
         if self.hop > self.frame_len:
-            raise ValueError(
+            raise InvalidConfigError(
                 f"hop ({self.hop}) must be <= frame_len ({self.frame_len})"
             )
         if self.top_db <= 0:
-            raise ValueError(f"top_db must be positive, got {self.top_db}")
+            raise InvalidConfigError(f"top_db must be positive, got {self.top_db}")
 
     @property
     def n_buckets(self) -> int:

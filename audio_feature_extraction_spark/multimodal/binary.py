@@ -54,6 +54,16 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+FEATURE_ERR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType(), False), True),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -104,39 +114,59 @@ def _decode_fake(payload: bytes, modality: str, dim: int = 16) -> np.ndarray:
 
 
 def extract_media_features(
-    media: DataFrame, dim: int = 16, decode_stub: bool = True
+    media: DataFrame,
+    dim: int = 16,
+    decode_stub: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """binary payload -> fixed-width feature vector (Arrow-batched).
 
     Narrow map over the media scan; payloads never leave the executor
     except as ``dim`` doubles — the 100 TB-friendly shape (decode where
     the bytes are, ship features only).
+
+    ``on_error="skip"`` is the reference's load-failure recovery
+    (design.md:2374: skip, record, continue): a corrupt payload yields a
+    row with null features and the error message in an ``error`` column
+    instead of killing the job — at 100 TB some payloads WILL be bad.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    skip = on_error == "skip"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, nbytes = [], []
+            feats, nbytes, errs = [], [], []
             for payload, modality in zip(pdf["payload"], pdf["modality"]):
                 b = bytes(payload)
-                arr = (
-                    _decode_fake(b, modality, dim)
-                    if decode_stub
-                    else _signal_features(_decode_real(b, modality), dim)
-                )
+                try:
+                    arr = (
+                        _decode_fake(b, modality, dim)
+                        if decode_stub
+                        else _signal_features(_decode_real(b, modality), dim)
+                    )
+                    err = None
+                except Exception as e:  # noqa: BLE001 — per-row recovery
+                    if not skip:
+                        raise
+                    arr, err = None, f"{type(e).__name__}: {e}"
                 feats.append(arr)
                 nbytes.append(len(b))
+                errs.append(err)
             if len(pdf):
-                yield pd.DataFrame(
-                    {
-                        "media_id": pdf["media_id"],
-                        "modality": pdf["modality"],
-                        "features": feats,
-                        "n_bytes": nbytes,
-                    }
-                )
+                out = {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "features": feats,
+                    "n_bytes": nbytes,
+                }
+                if skip:
+                    out["error"] = errs
+                yield pd.DataFrame(out)
 
+    schema = FEATURE_ERR_SCHEMA if skip else FEATURE_SCHEMA
     return media.select("media_id", "modality", "payload").mapInPandas(
-        run, schema=FEATURE_SCHEMA
+        run, schema=schema
     )
 
 

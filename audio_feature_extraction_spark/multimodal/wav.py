@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from audio_feature_extraction_spark.core.errors import LoadError
+
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE bytes -> (mono float64 signal in [-1, 1], sample_rate).
@@ -26,7 +28,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """
     b = payload
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
+        raise LoadError("not a RIFF/WAVE payload")
     fmt = data = None
     pos = 12
     while pos + 8 <= len(b):
@@ -39,7 +41,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if fmt is None or len(fmt) < 16 or data is None:
-        raise ValueError("missing fmt/data chunk")
+        raise LoadError("missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_channels = max(int.from_bytes(fmt[2:4], "little"), 1)
     sample_rate = int.from_bytes(fmt[4:8], "little")
@@ -61,13 +63,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         elif bits == 32:
             x = np.frombuffer(data, "<i4").astype(np.float64) / 2147483648.0
         else:
-            raise ValueError(f"unsupported PCM bit depth {bits}")
+            raise LoadError(f"unsupported PCM bit depth {bits}")
     elif audio_format == 3 and bits == 32:  # IEEE float
         x = np.frombuffer(data, "<f4").astype(np.float64)
     elif audio_format == 3 and bits == 64:
         x = np.frombuffer(data, "<f8").astype(np.float64)
     else:
-        raise ValueError(f"unsupported WAV format code {audio_format}/{bits}")
+        raise LoadError(f"unsupported WAV format code {audio_format}/{bits}")
 
     if n_channels > 1:
         x = x[: len(x) - len(x) % n_channels].reshape(-1, n_channels).mean(axis=1)

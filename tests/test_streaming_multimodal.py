@@ -427,3 +427,55 @@ def test_state_ttl_flushes_idle_doc(spark, tmp_path):
     assert ("d", 0, (0, 1, 2, 3)) in got
     assert ("d", 1, (2, 3, 4, 5)) in got
     assert ("d", 2, (4, 5)) in got
+
+
+def test_extract_media_skip_and_log_recovery(spark):
+    """design.md §9.2 recovery: a corrupt payload among good ones yields
+    an error row (null features, reason recorded) while the rest decode —
+    the job survives (on_error='skip')."""
+    from audio_feature_extraction_spark.multimodal import wav
+    from audio_feature_extraction_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    good = wav.encode_pcm16(_sine(64), 8000)
+    meta = {"width": None, "height": None, "sample_rate": 8000,
+            "n_frames": None, "codec": "pcm16"}
+    media = spark.createDataFrame(
+        [
+            ("ok", "audio", good, meta),
+            ("bad", "audio", b"\x00garbage", meta),
+            ("img", "image", b"\x89PNG", meta),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_media_features(
+            media, dim=4, decode_stub=False, on_error="skip"
+        ).collect()
+    }
+    assert rows["ok"].error is None and len(rows["ok"].features) == 4
+    assert rows["bad"].features is None and "LoadError" in rows["bad"].error
+    assert rows["img"].features is None and "NotImplementedError" in rows["img"].error
+    # raise mode still fails fast on the same input
+    with pytest.raises(Exception, match="LoadError|RIFF|NotImplementedError"):
+        extract_media_features(media, dim=4, decode_stub=False).collect()
+
+
+def test_error_hierarchy():
+    """≙ design.md:2349-2377 §9.1: one base, typed subclasses, ValueError
+    compatibility for existing callers."""
+    from audio_feature_extraction_spark.core import errors
+    from audio_feature_extraction_spark.core.config import FrameSpec
+    from audio_feature_extraction_spark.multimodal import wav
+
+    with pytest.raises(errors.InvalidConfigError):
+        FrameSpec(frame_len=0)
+    with pytest.raises(errors.LoadError):
+        wav.decode_wav(b"nope")
+    for exc in (errors.LoadError, errors.FeatureExtractionError,
+                errors.InvalidConfigError):
+        assert issubclass(exc, errors.EngineError)
+        assert issubclass(exc, ValueError)
