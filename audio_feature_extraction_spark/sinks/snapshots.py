@@ -1,0 +1,123 @@
+"""Snapshot table layer — Iceberg-style atomicity over plain parquet.
+
+The north star names Iceberg tables; this sandbox has no iceberg-runtime
+jars, so this module implements the part of the table format the engine
+actually relies on, with nothing but parquet + JSON + one atomic rename:
+
+* every write is a SNAPSHOT: new data files land under
+  ``data/v<N>/`` (invisible to readers), then ``manifest-<N>.json`` is
+  created with O_EXCL (the commit lock — a concurrent committer loses
+  and retries on the next version), then the ``_current`` pointer is
+  atomically replaced. Readers never see a partial write.
+* ``read_snapshot(version=...)`` is time travel: a manifest lists the
+  FULL set of live data directories for its version, so old versions
+  stay readable after appends (and after logical overwrites, which keep
+  old files on disk exactly like Iceberg until a GC/expire pass).
+* ``overwrite`` is a metadata operation: the new manifest simply lists
+  only the new directory — no data deletion on the write path.
+
+At cluster scale the manifest lists file-level stats and lives next to
+the data on object storage; the commit protocol (exclusive manifest
+create + pointer swap) is the same one Iceberg/Delta implement with
+their catalogs. Swap `.parquet` for `.format("iceberg")` when jars
+exist — the engine call sites only use write_snapshot/read_snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"manifest-{version}.json")
+
+
+def current_version(table_dir: str) -> int | None:
+    try:
+        with open(os.path.join(table_dir, "_current")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def write_snapshot(
+    df: DataFrame, table_dir: str, mode: str = "append", max_retries: int = 10
+) -> int:
+    """Commit ``df`` as a new snapshot; returns the committed version.
+
+    mode='append' keeps prior data dirs live; mode='overwrite' starts a
+    fresh logical table (old versions remain time-travelable).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(table_dir, exist_ok=True)
+
+    for _ in range(max_retries):
+        cur = current_version(table_dir)
+        version = 0 if cur is None else cur + 1
+        # skip versions whose manifest exists but never committed the
+        # pointer (a crashed or in-flight competitor) — their data is
+        # NOT absorbed: we chain off the last COMMITTED version `cur`
+        while os.path.exists(_manifest_path(table_dir, version)):
+            version += 1
+        data_dir = os.path.join(table_dir, "data", f"v{version}")
+        # stage data first — unreferenced until the manifest commits
+        df.write.mode("overwrite").parquet(data_dir)
+        dirs = [f"data/v{version}"]
+        if mode == "append" and cur is not None:
+            dirs = _load_manifest(table_dir, cur)["data_dirs"] + dirs
+        manifest = {
+            "version": version,
+            "parent": cur,
+            "op": mode,
+            "data_dirs": dirs,
+            "schema": df.schema.simpleString(),
+        }
+        try:
+            # O_EXCL create = the commit lock: exactly one writer can own
+            # a version number; a loser re-reads _current and retries
+            fd = os.open(
+                _manifest_path(table_dir, version),
+                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            )
+        except FileExistsError:
+            continue  # lost the race — retry at the next version
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        # atomic pointer swap — readers see either the old or new version
+        fdt, tmp = tempfile.mkstemp(dir=table_dir)
+        with os.fdopen(fdt, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(table_dir, "_current"))
+        return version
+    raise RuntimeError(f"lost {max_retries} commit races on {table_dir}")
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (default: current). Time travel = pass a version."""
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    m = _load_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, d) for d in m["data_dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """All committed manifests, oldest first."""
+    cur = current_version(table_dir)
+    if cur is None:
+        return []
+    return [_load_manifest(table_dir, v) for v in range(cur + 1)]
