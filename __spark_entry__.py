@@ -9,7 +9,10 @@ events documents embeddings).
 Column names are aliased identically on both sides; float outputs are
 either exact-arithmetic (integer sums + one division / libm-matched
 log10/sqrt — see operators/framing.py docstring) or the query is listed
-without an oracle (rows-only check).
+without an oracle (rows-only check). Arrays are serialized at this
+boundary (int -> CSV, float -> posexplode) because the driver
+canonicalizer hashes scalar cells. 60 queries; all but the iterative
+KMeans ``ann_ivf`` carry full DuckDB value oracles.
 """
 
 from __future__ import annotations

@@ -67,6 +67,7 @@ def cmd_extract(args) -> int:
             split_col=split_col,
             frame_len=cfg.frame.frame_len,
             hop=cfg.frame.hop,
+            snapshot=args.snapshot,
         )
     else:
         out = default_registry().get(cfg.extractor, cfg.frame)(ts)
@@ -75,7 +76,12 @@ def cmd_extract(args) -> int:
             out = split_op.assign_split(out, "doc_id")
             w = out.write.mode("overwrite").partitionBy("split")
         w.parquet(args.output)
-    n = spark.read.parquet(args.output).count()
+    if getattr(args, "snapshot", False) and args.channels:
+        from audio_feature_extraction_spark.sinks import snapshots as sn
+
+        n = sn.read_snapshot(spark, args.output).count()
+    else:
+        n = spark.read.parquet(args.output).count()
     print(json.dumps({"command": "extract", "rows": n, "output": args.output}))
     spark.stop()
     return 0
@@ -232,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--channels", action="store_true", help="write 4-layout channels")
     sp.add_argument("--split", action="store_true", help="partition by train/val/test")
+    sp.add_argument("--snapshot", action="store_true",
+                    help="commit via the atomic snapshot table layer")
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("reconstruct", help="frames -> exact token arrays")

@@ -87,13 +87,20 @@ def write_dataset(
     frame_len: int = 16,
     hop: int = 8,
     store_tokens: bool = True,
+    snapshot: bool = False,
 ) -> None:
     """≙ HDF5DatasetWriter.write (design.md:1301-1407): channels + a
     metadata sidecar (reconstruction params as JSON — HDF5-attr analog).
 
     ``store_tokens=True`` keeps ``frame_tokens`` in the dataset so the
     exact inverse runs from the written files alone — the reference's
-    "full reconstruction metadata" contract (design.md:1601-1622)."""
+    "full reconstruction metadata" contract (design.md:1601-1622).
+
+    ``snapshot=True`` commits through the atomic snapshot table layer
+    (sinks/snapshots.py): readers never see a partial dataset and every
+    write is time-travelable; ``split_col`` then stays a plain column
+    (snapshot manifests supersede directory partitioning for pruning at
+    the metadata level)."""
     ch = create_channels(features, fmt)
     if store_tokens and "frame_tokens" in features.columns:
         ch = ch.join(
@@ -108,10 +115,17 @@ def write_dataset(
         )
     )
     out = ch.withColumn("metadata", meta)
-    writer = out.write.mode(mode)
-    if split_col is not None:
-        writer = writer.partitionBy(split_col)
-    writer.parquet(out_dir)
+    if snapshot:
+        from audio_feature_extraction_spark.sinks import snapshots as sn
+
+        sn.write_snapshot(
+            out, out_dir, mode="append" if mode == "append" else "overwrite"
+        )
+    else:
+        writer = out.write.mode(mode)
+        if split_col is not None:
+            writer = writer.partitionBy(split_col)
+        writer.parquet(out_dir)
     # JSON sidecar (S8, requirements.md:65-69) — the HDF5-attrs analog as
     # a single dataset-level manifest file
     import json
@@ -142,7 +156,12 @@ def reconstruct_from_dataset(spark, dataset_dir: str) -> DataFrame:
     with open(os.path.join(dataset_dir, "_dataset_metadata.json")) as f:
         meta = json.load(f)
     spec = FrameSpec(frame_len=meta["frame_len"], hop=meta["hop"])
-    ds = spark.read.parquet(dataset_dir)
+    if os.path.exists(os.path.join(dataset_dir, "_current")):
+        from audio_feature_extraction_spark.sinks import snapshots as sn
+
+        ds = sn.read_snapshot(spark, dataset_dir)
+    else:
+        ds = spark.read.parquet(dataset_dir)
     if "frame_tokens" not in ds.columns:
         raise ValueError(
             "dataset was written with store_tokens=False — exact "

@@ -207,3 +207,29 @@ def test_snapshot_commit_race_loser_retries(spark, tmp_path):
     assert {r.id for r in sn.read_snapshot(spark, t, version=2).collect()} == {
         0, 1, 2, 10, 11
     }
+
+
+def test_write_dataset_snapshot_roundtrip(spark, tmp_path):
+    """snapshot=True commits the dataset atomically and the inverse reads
+    it back through the snapshot layer — exact reconstruction."""
+    from audio_feature_extraction_spark.core.config import FrameSpec
+    from audio_feature_extraction_spark.core.schemas import TOKEN_SEQUENCES
+    from audio_feature_extraction_spark.operators import framing
+    from audio_feature_extraction_spark.sinks import writers
+
+    spec = FrameSpec(frame_len=8, hop=4)
+    toks = [list(range(100, 121)), [5] * 8, list(range(3))]
+    ts = spark.createDataFrame(
+        [(f"doc_{i}", t, len(t), "web") for i, t in enumerate(toks)],
+        schema=TOKEN_SEQUENCES,
+    )
+    out = str(tmp_path / "ds")
+    writers.write_dataset(
+        framing.frame_features(ts, spec), out,
+        frame_len=8, hop=4, snapshot=True,
+    )
+    rec = {
+        r.doc_id: list(r.tokens)
+        for r in writers.reconstruct_from_dataset(spark, out).collect()
+    }
+    assert rec == {f"doc_{i}": t for i, t in enumerate(toks)}
