@@ -195,3 +195,16 @@ def test_centered_refused_by_pit_paths(spark, edge_seqs):
         stream.stateful_frames(df, CSPEC)
     with pytest.raises(ValueError, match="invertible"):
         inverse.reconstruct(framing.frame_table(df, CSPEC), CSPEC)
+
+
+def test_centered_composes_with_weighted_and_descriptors(spark, edge_seqs):
+    """Weighted features and descriptors route through frame_table, so the
+    centered grid composes without special cases."""
+    from audio_feature_extraction_spark.operators import spectral
+
+    df = _mkdf(spark, edge_seqs)
+    w = framing.frame_features_weighted_sql(df, CSPEC)
+    grid = {(r.doc_id, r.frame_id) for r in framing.frame_table(df, CSPEC).collect()}
+    assert {(r.doc_id, r.frame_id) for r in w.collect()} == grid
+    d = spectral.frame_descriptors(framing.frame_table(df, CSPEC), CSPEC)
+    assert {(r.doc_id, r.frame_id) for r in d.collect()} == grid
