@@ -121,3 +121,37 @@ def snapshot_history(table_dir: str) -> list[dict]:
     if cur is None:
         return []
     return [_load_manifest(table_dir, v) for v in range(cur + 1)]
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
+    """GC: drop manifests older than the ``keep_last`` most recent and
+    delete data dirs no retained manifest references (the Iceberg
+    expire-snapshots analog — time travel shrinks to the retained window).
+
+    Orphan dirs with NO manifest are never touched: they may belong to an
+    in-flight writer that has staged data but not yet committed (a real
+    GC adds an age threshold for those). Returns the deleted data dirs.
+    """
+    import shutil
+
+    cur = current_version(table_dir)
+    if cur is None or keep_last < 1:
+        return []
+    cutoff = cur - keep_last + 1  # versions >= cutoff survive
+    keep_dirs: set[str] = set()
+    drop_manifest_dirs: set[str] = set()
+    for v in range(cur + 1):
+        dirs = set(_load_manifest(table_dir, v)["data_dirs"])
+        (keep_dirs if v >= cutoff else drop_manifest_dirs).update(dirs)
+    deleted = []
+    for d in sorted(drop_manifest_dirs - keep_dirs):
+        full = os.path.join(table_dir, d)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+            deleted.append(d)
+    for v in range(cutoff):
+        try:
+            os.remove(_manifest_path(table_dir, v))
+        except FileNotFoundError:
+            pass
+    return deleted

@@ -233,3 +233,45 @@ def test_write_dataset_snapshot_roundtrip(spark, tmp_path):
         for r in writers.reconstruct_from_dataset(spark, out).collect()
     }
     assert rec == {f"doc_{i}": t for i, t in enumerate(toks)}
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """Expiry drops old manifests and deletes data dirs no retained
+    manifest references — but never dirs the live window still shares,
+    and never uncommitted (orphan) staging dirs."""
+    import os
+
+    from audio_feature_extraction_spark.sinks import snapshots as sn
+
+    t = str(tmp_path / "tbl")
+    sn.write_snapshot(spark.range(0, 3), t)                     # v0
+    sn.write_snapshot(spark.range(3, 5), t, mode="append")      # v1 (refs v0 dir)
+    sn.write_snapshot(spark.range(50, 52), t, mode="overwrite")  # v2 (only own dir)
+    # orphan staging dir from a hypothetical in-flight writer
+    spark.range(999, 1000).write.parquet(os.path.join(t, "data", "v99"))
+
+    deleted = sn.expire_snapshots(t, keep_last=1)
+    assert deleted == ["data/v0", "data/v1"]
+    assert sn.read_snapshot(spark, t).count() == 2          # current intact
+    assert not os.path.exists(os.path.join(t, "manifest-0.json"))
+    assert os.path.exists(os.path.join(t, "data", "v99"))   # orphan untouched
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        sn.read_snapshot(spark, t, version=0)
+
+
+def test_expire_keeps_shared_dirs(spark, tmp_path):
+    """A data dir referenced by BOTH an expired and a retained manifest
+    must survive (append chains share dirs across versions)."""
+    import os
+
+    from audio_feature_extraction_spark.sinks import snapshots as sn
+
+    t = str(tmp_path / "tbl")
+    sn.write_snapshot(spark.range(0, 3), t)                  # v0
+    sn.write_snapshot(spark.range(3, 5), t, mode="append")   # v1 refs data/v0+v1
+    deleted = sn.expire_snapshots(t, keep_last=1)            # keep only v1
+    assert deleted == []                                     # v1 still refs v0's dir
+    assert os.path.exists(os.path.join(t, "data", "v0"))
+    assert sn.read_snapshot(spark, t).count() == 5
