@@ -214,6 +214,45 @@ def lsh_buckets_kernel(
     )
 
 
+def cosine_scores_kernel(
+    df: DataFrame, a_col: str, b_col: str, dim: int, out_col: str = "cosine"
+) -> DataFrame:
+    """Arrow-kernel twin of ``cosine_expr`` — bit-identical doubles.
+
+    dot and both norms are SEQUENTIAL left folds over dimensions (each
+    ``acc += x*y`` rounds the product once then the add once, exactly
+    like the SQL aggregate()), vectorized across rows. Drops the two
+    vector columns and appends ``out_col``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keep = [c for c in df.columns if c not in (a_col, b_col)]
+    keep_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64)[:dim] for v in pdf[a_col]])
+            B = np.stack([np.asarray(v, dtype=np.float64)[:dim] for v in pdf[b_col]])
+            n = len(pdf)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(dim):
+                x, y = A[:, i], B[:, i]
+                dot += x * y
+                na += x * x
+                nb += y * y
+            out = pdf[keep].copy()
+            out[out_col] = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield out
+
+    schema = ", ".join([f"{c} {keep_t[c]}" for c in keep] + [f"{out_col} double"])
+    return df.mapInPandas(run, schema=schema)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -224,6 +263,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_kernel: bool = True,
+    score_kernel: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to hyperplane buckets,
     OR-amplified across ``n_tables`` independent hash tables. Equi-join
@@ -248,11 +288,21 @@ def lsh_topk(
         .select("query_id", "qvec", id_col, vec_col)
         .dropDuplicates(["query_id", id_col])
     )
-    scored = cands.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.expr(cosine_expr(vec_col, "qvec", spark=True)).alias("cosine"),
-    )
+    if score_kernel:
+        # bit-identical alternative, but measured SLOWER here: the joined
+        # candidate fan-out must ship 2x64 floats/row through Arrow, which
+        # costs more than the interpreted expr saves — bucket hashing is
+        # pre-join (narrow) and kernels well; scoring is post-join and
+        # belongs JVM-side. Kept for callers whose candidate sets are thin.
+        scored = cosine_scores_kernel(
+            cands.withColumnRenamed(id_col, "neighbor_id"), vec_col, "qvec", dim
+        )
+    else:
+        scored = cands.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(cosine_expr(vec_col, "qvec", spark=True)).alias("cosine"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -497,6 +547,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_kernel: bool = True,
+    score_kernel: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, bucket-restricted
     across n_tables hash tables (embedding analog of MinHash-LSH dedup)."""
@@ -520,12 +571,15 @@ def embedding_near_dups(
             F.col(f"b.{vec_col}").alias("vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .select(
+    )
+    if score_kernel:
+        pairs = cosine_scores_kernel(pairs, "va", "vb", dim)
+    else:
+        pairs = pairs.select(
             "id_a",
             "id_b",
             F.expr(cosine_expr("va", "vb", spark=True)).alias("cosine"),
         )
-    )
     return pairs.where(F.col("cosine") >= threshold)
 
 

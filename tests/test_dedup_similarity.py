@@ -301,3 +301,31 @@ def test_contamination_8gram(spark):
     assert out["te_0"].n_matched == 1 and out["te_0"].n_shingles == 5
     assert out["te_1"].n_matched == 0
     assert "te_2" not in out
+
+
+def test_cosine_kernel_equals_sql(spark):
+    """cosine_scores_kernel doubles are bit-identical to cosine_expr."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            F.col("a.embedding").alias("va"),
+            F.col("b.embedding").alias("vb"),
+        )
+    )
+    k = {
+        (r.ia, r.ib): r.cosine
+        for r in similarity.cosine_scores_kernel(pairs, "va", "vb", 64).collect()
+    }
+    s = {
+        (r.ia, r.ib): r.cosine
+        for r in pairs.selectExpr(
+            "ia", "ib", f"{similarity.cosine_expr('va', 'vb', spark=True)} as cosine"
+        ).collect()
+    }
+    assert k == s and len(k) > 100  # exact equality, not allclose
