@@ -74,16 +74,21 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def _decode_real(payload: bytes, modality: str) -> np.ndarray:
-    """The real-decoder seam. Audio decodes for real (pure-numpy RIFF/PCM,
-    multimodal/wav.py — no codec libs needed for WAV); image/video still
-    need libvips/ffmpeg and keep the honest NotImplementedError."""
+    """The real-decoder seam. Audio (RIFF/PCM WAV) and images (BMP, PNG)
+    decode for real with pure numpy/stdlib (multimodal/wav.py,
+    multimodal/image.py); video and compressed codecs (MP3/JPEG/...)
+    still need ffmpeg-class libraries and keep the honest error."""
     if modality == "audio":
         from audio_feature_extraction_spark.multimodal.wav import decode_wav
 
-        signal, _sr = decode_wav(payload)  # ValueError on non-WAV bytes
+        signal, _sr = decode_wav(payload)  # LoadError on non-WAV bytes
         return signal
+    if modality == "image":
+        from audio_feature_extraction_spark.multimodal.image import decode_image
+
+        return decode_image(payload).ravel()  # row-major luminance scan
     raise NotImplementedError(
-        f"no {modality} codec in this environment — install pillow/ffmpeg "
+        f"no {modality} codec in this environment — install ffmpeg "
         f"and implement _decode_real"
     )
 

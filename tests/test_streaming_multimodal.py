@@ -355,16 +355,16 @@ def test_extract_media_features_real_audio(spark):
     assert row.n_bytes == len(payload)
 
 
-def test_extract_media_features_real_image_still_raises(spark):
+def test_extract_media_features_real_video_still_raises(spark):
     from audio_feature_extraction_spark.multimodal.binary import (
         MEDIA_SCHEMA,
         extract_media_features,
     )
 
     meta = {"width": 4, "height": 4, "sample_rate": None,
-            "n_frames": None, "codec": "png"}
+            "n_frames": 3, "codec": "h264"}
     media = spark.createDataFrame(
-        [("m1", "image", b"\x89PNG", meta)], schema=MEDIA_SCHEMA
+        [("m1", "video", b"\x00\x00\x01", meta)], schema=MEDIA_SCHEMA
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_media_features(media, dim=4, decode_stub=False).collect()
@@ -458,7 +458,7 @@ def test_extract_media_skip_and_log_recovery(spark):
     }
     assert rows["ok"].error is None and len(rows["ok"].features) == 4
     assert rows["bad"].features is None and "LoadError" in rows["bad"].error
-    assert rows["img"].features is None and "NotImplementedError" in rows["img"].error
+    assert rows["img"].features is None and "LoadError" in rows["img"].error
     # raise mode still fails fast on the same input
     with pytest.raises(Exception, match="LoadError|RIFF|NotImplementedError"):
         extract_media_features(media, dim=4, decode_stub=False).collect()
@@ -479,3 +479,85 @@ def test_error_hierarchy():
                 errors.InvalidConfigError):
         assert issubclass(exc, errors.EngineError)
         assert issubclass(exc, ValueError)
+
+
+def test_bmp_roundtrip_and_png_filters():
+    """BMP encode/decode round-trips exactly; PNG decodes every filter
+    type (rows hand-filtered per the spec inverse)."""
+    import struct
+    import zlib
+
+    from audio_feature_extraction_spark.multimodal import image as img
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(5, 4, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(img.decode_bmp(img.encode_bmp(rgb)), rgb)
+    np.testing.assert_array_equal(img.decode_png(img.encode_png(rgb)), rgb)
+
+    # craft a PNG using filters 0..4, one per row
+    h, w, nch = rgb.shape[0], rgb.shape[1], 3
+    stride = w * nch
+    flat = rgb.reshape(h, stride).astype(np.int32)
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        filt = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(img.decode_png(payload), rgb)
+
+
+def test_image_decode_rejects_unknown():
+    from audio_feature_extraction_spark.core.errors import LoadError
+    from audio_feature_extraction_spark.multimodal import image as img
+
+    with pytest.raises(LoadError):
+        img.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_extract_media_features_real_image(spark):
+    """Real PNG payloads decode end-to-end through the Arrow plumbing."""
+    from audio_feature_extraction_spark.multimodal import image as img
+    from audio_feature_extraction_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        _signal_features,
+        extract_media_features,
+    )
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    payload = img.encode_png(rgb)
+    meta = {"width": 8, "height": 8, "sample_rate": None,
+            "n_frames": None, "codec": "png"}
+    media = spark.createDataFrame(
+        [("p0", "image", payload, meta)], schema=MEDIA_SCHEMA
+    )
+    (row,) = extract_media_features(media, dim=4, decode_stub=False).collect()
+    exp = _signal_features(img.decode_image(payload).ravel(), 4)
+    np.testing.assert_allclose(np.array(row.features), exp, rtol=0, atol=0)
