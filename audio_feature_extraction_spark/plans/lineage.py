@@ -118,6 +118,69 @@ class CheckpointedPipeline:
         return self.spark.read.parquet(self._manifest_path(stage))
 
 
+class SnapshotPipeline(CheckpointedPipeline):
+    """Checkpointed pipeline on the atomic snapshot layer.
+
+    ``CheckpointedPipeline`` appends data THEN manifest as two plain
+    parquet writes — a crash between them leaves data rows whose units
+    are not marked complete, and the resume reprocesses them into
+    DUPLICATES. Here every stage commit is one snapshot (staged dir ->
+    O_EXCL manifest -> pointer swap), and completed units derive from
+    the COMMITTED data itself, so the crash window disappears: a run
+    that dies mid-write leaves only an invisible staged dir, and the
+    resume's output is byte-identical to an uninterrupted run.
+    """
+
+    def _table(self, stage: str) -> str:
+        return os.path.join(self.base_dir, f"stage={stage}")
+
+    def completed_units(self, stage: str) -> DataFrame:
+        from audio_feature_extraction_spark.sinks import snapshots as sn
+
+        if sn.current_version(self._table(stage)) is None:
+            return self.spark.createDataFrame([], "unit int")
+        return (
+            sn.read_snapshot(self.spark, self._table(stage))
+            .select("unit")
+            .distinct()
+        )
+
+    def run_stage(
+        self,
+        df: DataFrame,
+        stage: str,
+        key_col: str,
+        process_fn: Callable[[DataFrame], DataFrame],
+        fail_units: set[int] | None = None,
+    ) -> None:
+        from audio_feature_extraction_spark.sinks import snapshots as sn
+
+        units = with_unit(df, key_col, self.n_units)
+        todo = units.join(
+            F.broadcast(self.completed_units(stage)), "unit", "left_anti"
+        )
+        if fail_units is not None:
+            todo = todo.where(~F.col("unit").isin(*fail_units))
+        t0 = time.perf_counter()
+        out = process_fn(todo)
+        if "unit" not in out.columns:
+            raise ValueError("process_fn must preserve the 'unit' column")
+        if not out.take(1):
+            return  # nothing left to do — no empty snapshot
+        sn.write_snapshot(out, self._table(stage), mode="append")
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        # metrics manifest is informational (completeness derives from the
+        # committed data, so a crash here cannot cause duplicates)
+        unit_manifest(out, self.run_id, stage, key_col, round(wall_ms, 3)).write.mode(
+            "append"
+        ).parquet(self._manifest_path(stage))
+
+    def stage_output(self, stage: str) -> DataFrame:
+        from audio_feature_extraction_spark.sinks import snapshots as sn
+
+        return sn.read_snapshot(self.spark, self._table(stage))
+
+
 def execution_report(manifest: DataFrame) -> DataFrame:
     """≙ ExecutionReport (design.md:1787-1792): totals per stage."""
     return manifest.groupBy("run_id", "stage").agg(

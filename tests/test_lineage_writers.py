@@ -275,3 +275,43 @@ def test_expire_keeps_shared_dirs(spark, tmp_path):
     assert deleted == []                                     # v1 still refs v0's dir
     assert os.path.exists(os.path.join(t, "data", "v0"))
     assert sn.read_snapshot(spark, t).count() == 5
+
+
+def test_snapshot_pipeline_resume_no_duplicates(spark, tmp_path):
+    """The crash window CheckpointedPipeline has (data written, manifest
+    not) cannot duplicate under SnapshotPipeline: an uncommitted staged
+    dir is invisible, and the resumed run's output is identical to an
+    uninterrupted one."""
+    import os
+
+    from audio_feature_extraction_spark.plans import lineage
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    fn = lambda d: d.withColumn("v", F.col("k") * 2)  # noqa: E731
+
+    base_a = str(tmp_path / "a")
+    p = lineage.SnapshotPipeline(spark, base_a, "run_a", n_units=8)
+    # crash simulation: first run skips units {0,1}; additionally, a
+    # staged-but-uncommitted dir (mid-write crash) is planted
+    p.run_stage(df, "extracted", "k", fn, fail_units={0, 1})
+    os.makedirs(os.path.join(base_a, "stage=extracted", "data"), exist_ok=True)
+    spark.range(0, 5).withColumnRenamed("id", "k").withColumn(
+        "unit", F.lit(0)
+    ).withColumn("v", F.lit(-1)).write.mode("overwrite").parquet(
+        os.path.join(base_a, "stage=extracted", "data", "v999")
+    )
+    p.run_stage(df, "extracted", "k", fn)  # resume
+
+    base_b = str(tmp_path / "b")
+    q = lineage.SnapshotPipeline(spark, base_b, "run_b", n_units=8)
+    q.run_stage(df, "extracted", "k", fn)  # uninterrupted
+
+    a = sorted((r.k, r.v) for r in p.stage_output("extracted").collect())
+    b = sorted((r.k, r.v) for r in q.stage_output("extracted").collect())
+    assert a == b and len(a) == 200  # no duplicates, no losses
+    # third run is a no-op (all units complete) — version unchanged
+    from audio_feature_extraction_spark.sinks import snapshots as sn
+
+    v_before = sn.current_version(os.path.join(base_a, "stage=extracted"))
+    p.run_stage(df, "extracted", "k", fn)
+    assert sn.current_version(os.path.join(base_a, "stage=extracted")) == v_before
