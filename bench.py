@@ -193,10 +193,11 @@ def run_queries(
         ),
     )
     if not core_only:
+        # best-of-2 like the core queries: these were reps=1 and a single
+        # ambient-load outlier (21s vs the usual ~4s) got recorded
         timed(
             "minhash_lsh_pairs",
             lambda: _noop(dedup.lsh_candidate_pairs(amplified)),
-            reps=1,
         )
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         timed(
@@ -204,7 +205,6 @@ def run_queries(
             lambda: _noop(
                 similarity.lsh_topk(emb, emb.where(F.expr("vec_id % 20 = 0")), k=5)
             ),
-            reps=1,
         )
     total = round(sum(timings.values()), 3)
     result = {
