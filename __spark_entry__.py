@@ -11,7 +11,7 @@ either exact-arithmetic (integer sums + one division / libm-matched
 log10/sqrt — see operators/framing.py docstring) or the query is listed
 without an oracle (rows-only check). Arrays are serialized at this
 boundary (int -> CSV, float -> posexplode) because the driver
-canonicalizer hashes scalar cells. 60 queries; all but the iterative
+canonicalizer hashes scalar cells. 64 queries; all but the iterative
 KMeans ``ann_ivf`` carry full DuckDB value oracles.
 """
 
@@ -286,6 +286,39 @@ def q_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click": ev.where(F.col("event_type") == "click"),
             "purchase": ev.where(F.col("event_type") == "purchase"),
         },
+    )
+
+
+def q_asof_join_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-before boundary: a state AT the probe timestamp is
+    invisible (exclusive PIT semantics)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof.asof_join(
+        ev.where(F.expr(_PROBE_FILTER)),
+        ev.where(F.expr(_STATE_FILTER)),
+        strict=True,
+    ).select("user_id", "event_id", "ts", "asof_value", "asof_ts")
+
+
+def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segmented-scan (skew) variant, checked against the SAME oracle
+    as the plain as-of — hard equivalence through DuckDB."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof.asof_join_bucketed(
+        ev.where(F.expr(_PROBE_FILTER)),
+        ev.where(F.expr(_STATE_FILTER)),
+        bucket_seconds=21600.0,
+    ).select("user_id", "event_id", "ts", "asof_value", "asof_ts")
+
+
+def q_backfill_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented-scan backfill against the plain backfill oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    masked = ev.withColumn(
+        "value", F.when(F.expr(_PROBE_FILTER), None).otherwise(F.col("value"))
+    )
+    return temporal.backfill_bucketed(masked, bucket_seconds=21600.0).select(
+        "event_id", "user_id", "ts", "event_type", "filled"
     )
 
 
@@ -593,6 +626,12 @@ def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _csv_cols(out, "pitch_shifted", "stretched", "noised")
 
 
+def q_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup KEEP side: one row (min doc_id) per distinct text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs)
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_dup_groups(docs)
@@ -802,8 +841,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip": q_roundtrip,
         "asof_join": q_asof_join,
         "asof_join_ttl": q_asof_join_ttl,
+        "asof_join_strict": q_asof_join_strict,
+        "asof_join_bucketed": q_asof_join_bucketed,
         "asof_multi": q_asof_multi,
         "backfill": q_backfill,
+        "backfill_bucketed": q_backfill_bucketed,
         "deltas": q_deltas,
         "rolling": q_rolling,
         "sessionize": q_sessionize,
@@ -821,6 +863,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_keys": q_sample_keys,
         "metadata_json": q_metadata_json,
         "exact_dup_groups": q_exact_dup_groups,
+        "exact_dedup_survivors": q_exact_dedup_survivors,
         "prefix_dup_groups": q_prefix_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -1003,6 +1046,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "roundtrip": roundtrip_sql,
         "asof_join": asof.asof_oracle_sql(_PROBE_FILTER, _STATE_FILTER),
+        "asof_join_bucketed": asof.asof_oracle_sql(_PROBE_FILTER, _STATE_FILTER),
+        "asof_join_strict": (
+            f"WITH st AS ("
+            f"  SELECT user_id, ts, value, event_id,"
+            f"         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn"
+            f"  FROM events WHERE ({_STATE_FILTER}) AND value IS NOT NULL"
+            f"), std AS (SELECT user_id, ts, value FROM st WHERE rn = 1), "
+            f"pr AS (SELECT user_id, event_id, ts FROM events WHERE {_PROBE_FILTER}) "
+            f"SELECT pr.user_id AS user_id, pr.event_id AS event_id, pr.ts AS ts, "
+            f"std.value AS asof_value, std.ts AS asof_ts "
+            f"FROM pr ASOF LEFT JOIN std "
+            f"ON pr.user_id = std.user_id AND pr.ts > std.ts"
+        ),
         "asof_join_ttl": (
             f"WITH base AS ({asof.asof_oracle_sql(_PROBE_FILTER, _STATE_FILTER)}) "
             f"SELECT user_id, event_id, ts, "
@@ -1029,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
             "ON j1.user_id = pu.user_id AND j1.ts >= pu.ts"
         ),
         "backfill": backfill_sql,
+        "backfill_bucketed": backfill_sql,
         "deltas": (
             "SELECT event_id, user_id, ts, value, delta, "
             "delta - lag(delta, 1) OVER w AS delta2 FROM ("
@@ -1099,6 +1156,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM tokseq t LEFT JOIN rec r USING (doc_id) WHERE t.n_tok > 0"
         ),
         "exact_dup_groups": dedup.exact_dup_oracle_sql(),
+        "exact_dedup_survivors": (
+            "SELECT doc_id, text, lang, source, n_chars FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn "
+            "FROM documents) WHERE rn = 1"
+        ),
         "prefix_dup_groups": dedup.prefix_dup_oracle_sql(40),
         "minhash_signatures": _sql_canon(
             f"{_tok_cte()} {dedup.minhash_signatures_oracle_sql()}",
