@@ -11,7 +11,7 @@ either exact-arithmetic (integer sums + one division / libm-matched
 log10/sqrt — see operators/framing.py docstring) or the query is listed
 without an oracle (rows-only check). Arrays are serialized at this
 boundary (int -> CSV, float -> posexplode) because the driver
-canonicalizer hashes scalar cells. 64 queries; all but the iterative
+canonicalizer hashes scalar cells. 65 queries; all but the iterative
 KMeans ``ann_ivf`` carry full DuckDB value oracles.
 """
 
@@ -336,6 +336,19 @@ def q_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return temporal.with_deltas(ev).select(
         "event_id", "user_id", "ts", "value", "delta", "delta2"
+    )
+
+
+def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 latency-stats analog: exact p50/p95/p99 per event type (Spark
+    percentile() and DuckDB quantile_cont share the sorted linear
+    interpolation bit-for-bit — probed before shipping)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count("*").alias("n"),
     )
 
 
@@ -848,6 +861,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_bucketed": q_backfill_bucketed,
         "deltas": q_deltas,
         "rolling": q_rolling,
+        "latency_quantiles": q_latency_quantiles,
         "sessionize": q_sessionize,
         "session_summary": q_session_summary,
         "segments": q_segments,
@@ -1094,6 +1108,12 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "rolling": rolling_sql,
+        "latency_quantiles": (
+            "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.95) AS p95, "
+            "quantile_cont(value, 0.99) AS p99, count(*) AS n "
+            "FROM events GROUP BY event_type"
+        ),
         "sessionize": (
             f"SELECT event_id, user_id, ts, session_id FROM "
             f"({sessionize.sessionize_oracle_sql(1800.0)})"
