@@ -258,7 +258,13 @@ def minhash_signatures_kernel(
         B = np.array([b0 + j * bstep for j in range(num_perm)], dtype=np.int64)
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy(dtype=object)
-            toks = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
+            # NULL token arrays act as empty (sentinel signature) rather
+            # than crashing the batch — same drop-don't-die policy as
+            # similarity._stack_fixed
+            toks = [
+                np.asarray(() if t is None else t, dtype=np.int64)
+                for t in pdf["tokens"]
+            ]
             lens = np.fromiter(
                 (max(len(t) - 1, 0) for t in toks), dtype=np.int64, count=len(toks)
             )

@@ -32,13 +32,19 @@ DENOM = 10_000  # rate resolution 1/10000
 
 
 def _rate_hash(num_expr: str, epoch_expr: str, seed: int) -> str:
-    """Product-form hash in [0, DENOM) — identical in Spark and DuckDB
-    (all intermediates < 2^62). Depends on (doc, epoch) so each extra
+    """Product-form hash in [0, DENOM) — identical in Spark and DuckDB.
+
+    Both factors are reduced mod HASH_PRIME *before* the multiply, so
+    every intermediate is provably < 2^41: the raw ``(num+1)*(num+...)``
+    form is ~num^2 and would exceed int64 once a numeric doc-id suffix
+    passes ~2^31 — Spark BIGINT wraps silently there while DuckDB raises,
+    i.e. engine/oracle divergence (ADVICE r02). For ids below ~10^6 the
+    reduced form is numerically identical to the raw one, so existing
+    oracle values are unchanged. Depends on (doc, epoch) so each extra
     epoch's fractional keep-set is independent."""
-    return (
-        f"((({num_expr} + 1) * ({num_expr} + 1009 + ({epoch_expr}) * 131) "
-        f"+ {seed}) % {HASH_PRIME}) % {DENOM}"
-    )
+    n = f"(({num_expr}) % {HASH_PRIME})"
+    m = f"(({n} + 1009 + ({epoch_expr}) * 131) % {HASH_PRIME})"
+    return f"((({n} + 1) * {m} + {seed}) % {HASH_PRIME}) % {DENOM}"
 
 
 def sample_rate_case(rates: dict[str, float], default: float) -> str:

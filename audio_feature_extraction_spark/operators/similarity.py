@@ -148,6 +148,35 @@ def _tables_union_sql(
     )
 
 
+def _stack_fixed(values, dim: int):
+    """Stack per-row vectors into an (n, dim) float64 matrix; returns
+    (matrix, valid_mask).
+
+    A row that is NULL or shorter than ``dim`` is marked invalid — the
+    kernels DROP such rows (``on_error='skip'`` semantics, like the media
+    decode path) instead of letting one malformed row kill the whole job
+    via ``np.stack`` (ADVICE r02). Note the SQL twins differ on malformed
+    input: ``element_at`` past the end yields NULL, which propagates to a
+    NULL dot (bucket 0 / NULL cosine) — neither output is meaningful, so
+    the kernels prefer the explicit drop. Elements beyond ``dim`` are
+    ignored in both formulations.
+    """
+    import numpy as np
+
+    n = len(values)
+    M = np.zeros((n, dim), dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    for j, v in enumerate(values):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.ndim != 1 or a.shape[0] < dim:
+            continue
+        M[j] = a[:dim]
+        valid[j] = True
+    return M, valid
+
+
 def lsh_buckets_kernel(
     df: DataFrame,
     n_tables: int,
@@ -178,12 +207,15 @@ def lsh_buckets_kernel(
         I = np.arange(dim, dtype=np.int64)[None, :]
         coef = ((P * 1009 + I * 9176 + 13) % 2001 - 1000).astype(np.float64)
         for pdf in batches:
+            if not len(pdf):
+                continue
+            V, valid = _stack_fixed(pdf[vec_col], dim)
+            if not valid.all():
+                pdf = pdf[valid].reset_index(drop=True)
+                V = V[valid]
             n = len(pdf)
             if not n:
                 continue
-            V = np.stack(
-                [np.asarray(v, dtype=np.float64)[:dim] for v in pdf[vec_col]]
-            )
             # sequential left fold over dims — matches SQL aggregate()
             dots = np.zeros((n, n_hp), dtype=np.float64)
             for i in range(dim):
@@ -234,8 +266,14 @@ def cosine_scores_kernel(
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.stack([np.asarray(v, dtype=np.float64)[:dim] for v in pdf[a_col]])
-            B = np.stack([np.asarray(v, dtype=np.float64)[:dim] for v in pdf[b_col]])
+            A, va = _stack_fixed(pdf[a_col], dim)
+            B, vb = _stack_fixed(pdf[b_col], dim)
+            valid = va & vb
+            if not valid.all():
+                pdf = pdf[valid].reset_index(drop=True)
+                A, B = A[valid], B[valid]
+            if not len(pdf):
+                continue
             n = len(pdf)
             dot = np.zeros(n)
             na = np.zeros(n)

@@ -4,11 +4,13 @@ The north star names Iceberg tables; this sandbox has no iceberg-runtime
 jars, so this module implements the part of the table format the engine
 actually relies on, with nothing but parquet + JSON + one atomic rename:
 
-* every write is a SNAPSHOT: new data files land under
-  ``data/v<N>/`` (invisible to readers), then ``manifest-<N>.json`` is
-  created with O_EXCL (the commit lock — a concurrent committer loses
-  and retries on the next version), then the ``_current`` pointer is
-  atomically replaced. Readers never see a partial write.
+* every write is a SNAPSHOT: new data files land under a per-writer
+  nonce dir ``data/s-<nonce>/`` (invisible to readers, and un-clobberable
+  by a racing writer), then ``manifest-<N>.json`` — which records that
+  exact dir — is created with O_EXCL (the commit lock — a concurrent
+  committer loses and retries the metadata commit on the next version),
+  then the ``_current`` pointer is atomically replaced. Readers never
+  see a partial write.
 * ``read_snapshot(version=...)`` is time travel: a manifest lists the
   FULL set of live data directories for its version, so old versions
   stay readable after appends (and after logical overwrites, which keep
@@ -28,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,6 +52,28 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _committed_chain(table_dir: str) -> list[int]:
+    """Versions on the COMMITTED chain, oldest first, walked via each
+    manifest's ``parent`` field starting from ``_current``.
+
+    A manifest that exists but is unreachable from ``_current`` is an
+    uncommitted orphan — a writer that crashed between manifest create
+    and pointer swap (or got skipped past by a later committer). Orphans
+    are not history, not readable as snapshots, and do not participate
+    in GC retention decisions (ADVICE r02)."""
+    chain: list[int] = []
+    v = current_version(table_dir)
+    while v is not None:
+        try:
+            m = _load_manifest(table_dir, v)
+        except FileNotFoundError:
+            break  # ancestor expired by GC — the chain ends here
+        chain.append(v)
+        v = m["parent"]
+    chain.reverse()
+    return chain
+
+
 def write_snapshot(
     df: DataFrame, table_dir: str, mode: str = "append", max_retries: int = 10
 ) -> int:
@@ -56,10 +81,22 @@ def write_snapshot(
 
     mode='append' keeps prior data dirs live; mode='overwrite' starts a
     fresh logical table (old versions remain time-travelable).
-    """
+
+    Each writer stages into its OWN uniquely-named directory
+    (``data/s-<nonce>``) and records that exact dir in its manifest — so
+    two racing committers can never clobber each other's staged files:
+    the loser's directory is simply never referenced by the winner's
+    manifest, and the loser retries the metadata commit (not the data
+    write) at the next version (ADVICE r02: the old shared ``data/v<N>``
+    staging let a loser overwrite a committed winner's data dir)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
+
+    # stage data ONCE into a nonce dir — unreferenced (invisible) until a
+    # manifest commits, and impossible for a concurrent writer to target
+    stage_rel = f"data/s-{uuid.uuid4().hex[:12]}"
+    df.write.parquet(os.path.join(table_dir, "data", stage_rel.split("/", 1)[1]))
 
     for _ in range(max_retries):
         cur = current_version(table_dir)
@@ -69,10 +106,7 @@ def write_snapshot(
         # NOT absorbed: we chain off the last COMMITTED version `cur`
         while os.path.exists(_manifest_path(table_dir, version)):
             version += 1
-        data_dir = os.path.join(table_dir, "data", f"v{version}")
-        # stage data first — unreferenced until the manifest commits
-        df.write.mode("overwrite").parquet(data_dir)
-        dirs = [f"data/v{version}"]
+        dirs = [stage_rel]
         if mode == "append" and cur is not None:
             dirs = _load_manifest(table_dir, cur)["data_dirs"] + dirs
         manifest = {
@@ -105,51 +139,61 @@ def write_snapshot(
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
-    """Read a snapshot (default: current). Time travel = pass a version."""
+    """Read a snapshot (default: current). Time travel = pass a version.
+
+    Only versions on the committed chain are readable — an orphan
+    manifest (crashed writer, never pointer-swapped) raises instead of
+    silently exposing uncommitted data."""
     if version is None:
         version = current_version(table_dir)
         if version is None:
             raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    elif version not in _committed_chain(table_dir):
+        raise ValueError(
+            f"version {version} is not on the committed chain of "
+            f"{table_dir} (uncommitted orphan manifest or never existed)"
+        )
     m = _load_manifest(table_dir, version)
     paths = [os.path.join(table_dir, d) for d in m["data_dirs"]]
     return spark.read.parquet(*paths)
 
 
 def snapshot_history(table_dir: str) -> list[dict]:
-    """All committed manifests, oldest first."""
-    cur = current_version(table_dir)
-    if cur is None:
-        return []
-    return [_load_manifest(table_dir, v) for v in range(cur + 1)]
+    """Committed manifests only, oldest first (parent-chain walk —
+    orphan manifests from crashed writers are excluded)."""
+    return [_load_manifest(table_dir, v) for v in _committed_chain(table_dir)]
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
-    """GC: drop manifests older than the ``keep_last`` most recent and
-    delete data dirs no retained manifest references (the Iceberg
-    expire-snapshots analog — time travel shrinks to the retained window).
+    """GC: drop committed manifests older than the ``keep_last`` most
+    recent and delete data dirs no retained manifest references (the
+    Iceberg expire-snapshots analog — time travel shrinks to the
+    retained window).
 
-    Orphan dirs with NO manifest are never touched: they may belong to an
+    Retention is decided over the COMMITTED chain only. Orphan manifests
+    and orphan staged dirs are never touched: they may belong to an
     in-flight writer that has staged data but not yet committed (a real
     GC adds an age threshold for those). Returns the deleted data dirs.
     """
     import shutil
 
-    cur = current_version(table_dir)
-    if cur is None or keep_last < 1:
+    chain = _committed_chain(table_dir)
+    if not chain or keep_last < 1:
         return []
-    cutoff = cur - keep_last + 1  # versions >= cutoff survive
+    retained, dropped = chain[-keep_last:], chain[:-keep_last]
     keep_dirs: set[str] = set()
-    drop_manifest_dirs: set[str] = set()
-    for v in range(cur + 1):
-        dirs = set(_load_manifest(table_dir, v)["data_dirs"])
-        (keep_dirs if v >= cutoff else drop_manifest_dirs).update(dirs)
+    for v in retained:
+        keep_dirs.update(_load_manifest(table_dir, v)["data_dirs"])
+    drop_dirs: set[str] = set()
+    for v in dropped:
+        drop_dirs.update(_load_manifest(table_dir, v)["data_dirs"])
     deleted = []
-    for d in sorted(drop_manifest_dirs - keep_dirs):
+    for d in sorted(drop_dirs - keep_dirs):
         full = os.path.join(table_dir, d)
         if os.path.isdir(full):
             shutil.rmtree(full)
             deleted.append(d)
-    for v in range(cutoff):
+    for v in dropped:
         try:
             os.remove(_manifest_path(table_dir, v))
         except FileNotFoundError:

@@ -270,15 +270,19 @@ def main() -> None:
         median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
             (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
         )
-        best = max(pairs, key=lambda p: p["eff"])
+        # throughput block comes from the MEDIAN pair (the one whose eff
+        # is closest to the reported median), so the published raw seq/s
+        # numbers correspond to the reported ratio instead of being
+        # cherry-picked from the best pair (ADVICE r02)
+        median_pair = min(pairs, key=lambda p: abs(p["eff"] - median_eff))
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": median_eff,
             "unit": "ratio",
             "pairs": pairs,
             "throughput": {
-                f"local[{lo}]": best[f"local[{lo}]"],
-                f"local[{hi}]": best[f"local[{hi}]"],
+                f"local[{lo}]": median_pair[f"local[{lo}]"],
+                f"local[{hi}]": median_pair[f"local[{hi}]"],
             },
             "queries": {
                 f"local[{lo}]": last["lo"]["queries"],

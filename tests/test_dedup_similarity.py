@@ -329,3 +329,44 @@ def test_cosine_kernel_equals_sql(spark):
         ).collect()
     }
     assert k == s and len(k) > 100  # exact equality, not allclose
+
+
+def test_kernels_tolerate_ragged_and_null_vectors(spark):
+    """ADVICE r02: one malformed (short/NULL) vector used to kill the
+    whole job via np.stack. Kernels now drop such rows (on_error='skip'
+    semantics) and keep the well-formed output identical."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    bad = spark.createDataFrame(
+        [(90001, [0.5, 0.25]), (90002, None)],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    mixed = emb.select("vec_id", "embedding").unionByName(bad)
+
+    buckets = similarity.lsh_buckets_kernel(mixed, 2, 4, 64).collect()
+    good = similarity.lsh_buckets_kernel(
+        emb.select("vec_id", "embedding"), 2, 4, 64
+    ).collect()
+    assert {r.vec_id for r in buckets} == {r.vec_id for r in good}
+    assert not {90001, 90002} & {r.vec_id for r in buckets}
+
+    pairs = mixed.alias("a").crossJoin(
+        emb.select(F.col("embedding").alias("qvec")).limit(1)
+    )
+    scored = similarity.cosine_scores_kernel(
+        pairs.select("vec_id", "embedding", "qvec"), "embedding", "qvec", 64
+    ).collect()
+    assert len(scored) == 20 and not {90001, 90002} & {r.vec_id for r in scored}
+
+
+def test_minhash_kernel_tolerates_null_tokens(spark):
+    # the canonical TOKEN_SEQUENCES schema forbids null tokens, but the
+    # kernel is also used over ad-hoc frames where the column is nullable
+    rows = [("d0", list(range(30)), 30, "web"), ("d1", None, 0, "web")]
+    ts = spark.createDataFrame(
+        rows, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    sigs = {r.doc_id: list(r.signature) for r in
+            dedup.minhash_signatures_kernel(ts).collect()}
+    assert len(sigs["d0"]) == len(sigs["d1"])
+    # null tokens -> empty shingle set -> all-sentinel signature
+    assert len(set(sigs["d1"])) == 1

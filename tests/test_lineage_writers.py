@@ -207,6 +207,48 @@ def test_snapshot_commit_race_loser_retries(spark, tmp_path):
     assert {r.id for r in sn.read_snapshot(spark, t, version=2).collect()} == {
         0, 1, 2, 10, 11
     }
+    # the orphan manifest is NOT history, NOT readable (it references
+    # data no committed writer staged), and doesn't affect the chain
+    assert [m["version"] for m in sn.snapshot_history(t)] == [0, 2]
+    import pytest
+
+    with pytest.raises(ValueError, match="not on the committed chain"):
+        sn.read_snapshot(spark, t, version=1)
+
+
+def test_snapshot_racing_writers_have_disjoint_staged_dirs(spark, tmp_path):
+    """ADVICE r02: two writers that both read _current=N-1 used to stage
+    into the SAME data/vN dir with overwrite — the manifest-race winner
+    could commit a snapshot whose data the loser then clobbered. Staged
+    dirs are now per-writer nonces recorded in the manifest, so each
+    committed version's data is exactly what its writer staged."""
+    import os
+
+    from audio_feature_extraction_spark.sinks import snapshots as sn
+
+    t = str(tmp_path / "tbl")
+    sn.write_snapshot(spark.range(0, 3), t)
+
+    # simulate writer B staging while A commits: monkeypatch-free — run
+    # A fully, then B; B must not touch A's staged dir even though both
+    # target "the next version" namespace
+    va = sn.write_snapshot(spark.range(10, 13), t, mode="append")
+    vb = sn.write_snapshot(spark.range(20, 22), t, mode="append")
+    ma = sn._load_manifest(t, va)
+    mb = sn._load_manifest(t, vb)
+    own_a = [d for d in ma["data_dirs"] if d not in sn._load_manifest(t, 0)["data_dirs"]]
+    own_b = [d for d in mb["data_dirs"] if d not in ma["data_dirs"]]
+    assert own_a and own_b and set(own_a).isdisjoint(own_b)
+    for d in own_a + own_b:
+        assert d.startswith("data/s-") and os.path.isdir(os.path.join(t, d))
+    assert {r.id for r in sn.read_snapshot(spark, t).collect()} == {
+        0, 1, 2, 10, 11, 12, 20, 21
+    }
+    # GC over the committed chain keeps the latest snapshot intact
+    sn.expire_snapshots(t, keep_last=1)
+    assert {r.id for r in sn.read_snapshot(spark, t).collect()} == {
+        0, 1, 2, 10, 11, 12, 20, 21
+    }
 
 
 def test_write_dataset_snapshot_roundtrip(spark, tmp_path):
@@ -251,13 +293,14 @@ def test_expire_snapshots_gc(spark, tmp_path):
     spark.range(999, 1000).write.parquet(os.path.join(t, "data", "v99"))
 
     deleted = sn.expire_snapshots(t, keep_last=1)
-    assert deleted == ["data/v0", "data/v1"]
+    # v0's and v1's own staged dirs go; names are per-writer nonces now
+    assert len(deleted) == 2 and all(d.startswith("data/s-") for d in deleted)
     assert sn.read_snapshot(spark, t).count() == 2          # current intact
     assert not os.path.exists(os.path.join(t, "manifest-0.json"))
     assert os.path.exists(os.path.join(t, "data", "v99"))   # orphan untouched
     import pytest as _pt
 
-    with _pt.raises(FileNotFoundError):
+    with _pt.raises((FileNotFoundError, ValueError)):
         sn.read_snapshot(spark, t, version=0)
 
 
@@ -270,10 +313,11 @@ def test_expire_keeps_shared_dirs(spark, tmp_path):
 
     t = str(tmp_path / "tbl")
     sn.write_snapshot(spark.range(0, 3), t)                  # v0
-    sn.write_snapshot(spark.range(3, 5), t, mode="append")   # v1 refs data/v0+v1
+    sn.write_snapshot(spark.range(3, 5), t, mode="append")   # v1 refs both dirs
+    v0_dir = sn._load_manifest(t, 0)["data_dirs"][0]
     deleted = sn.expire_snapshots(t, keep_last=1)            # keep only v1
     assert deleted == []                                     # v1 still refs v0's dir
-    assert os.path.exists(os.path.join(t, "data", "v0"))
+    assert os.path.exists(os.path.join(t, v0_dir))
     assert sn.read_snapshot(spark, t).count() == 5
 
 
