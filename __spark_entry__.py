@@ -13,7 +13,7 @@ without an oracle (rows-only check). Arrays are serialized at this
 boundary (int -> CSV, float -> posexplode) because the driver
 canonicalizer hashes scalar cells.
 
-49 queries, every one with a full DuckDB value oracle. The driver
+50 queries, every one with a full DuckDB value oracle. The driver
 verifies at most the FIRST 50 registry entries (round 2 registered 65
 and silently lost rows for 15 — VERDICT r02 #1), so the registry is
 consolidated under that cap: equivalent implementation variants that
@@ -784,6 +784,14 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup lines / dup 5-grams /
+    top-word share) over raw document text."""
+    return textstats.repetition_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length distribution in exact 50-token buckets."""
     ts = load_token_sequences(spark, sf_dir)
@@ -1070,7 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries (driver cap: 50). Ordered never-green-first: queries
+    """50 entries (driver cap: 50). Ordered never-green-first: queries
     that fell past round 2's 50-row window lead; long-stable green rows
     trail. Do NOT insert above the cap — append-or-merge only."""
     return {
@@ -1087,6 +1095,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "dataset_summary": q_dataset_summary,
         "validation_histogram": q_validation_histogram,
+        "repetition_stats": q_repetition_stats,
         "pit_feature_serving": q_pit_feature_serving,
         # -- merged variant rows (new packaging this round) ---------------
         "frame_features_twins": q_frame_features_twins,
@@ -1581,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL SELECT 'len_' || CAST(bucket AS VARCHAR) AS k, "
             f"n_docs AS n FROM ({leaf['length_histogram']}) _h"
         ),
+        "repetition_stats": textstats.repetition_stats_oracle_sql(),
         "pit_feature_serving": leaf["pit_feature_serving"],
         # -- merged variant rows -----------------------------------------
         "frame_features_twins": _variant_union_sql(

@@ -69,6 +69,31 @@ def cmd_extract(args) -> int:
             hop=cfg.frame.hop,
             snapshot=args.snapshot,
         )
+    elif args.snapshot:
+        # resumable extraction on the atomic snapshot layer: work splits
+        # into hash-stable units; each completed unit is one committed
+        # snapshot, so a crash mid-run leaves only an invisible staged
+        # dir and the rerun picks up exactly the missing units — no
+        # duplicates, byte-identical to an uninterrupted run
+        from audio_feature_extraction_spark.plans import lineage
+
+        pipe = lineage.SnapshotPipeline(
+            spark, args.output, run_id="cli-extract", n_units=args.units
+        )
+        extractor = default_registry().get(cfg.extractor, cfg.frame)
+
+        def _featurize(df):
+            out = extractor(df.drop("unit"))
+            return lineage.with_unit(out, "doc_id", args.units)
+
+        pipe.run_stage(ts, "features", "doc_id", _featurize)
+        n = pipe.stage_output("features").count()
+        print(json.dumps({
+            "command": "extract", "rows": n, "output": args.output,
+            "resume": "snapshot",
+        }))
+        spark.stop()
+        return 0
     else:
         out = default_registry().get(cfg.extractor, cfg.frame)(ts)
         w = out.write.mode("overwrite")
@@ -239,7 +264,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--channels", action="store_true", help="write 4-layout channels")
     sp.add_argument("--split", action="store_true", help="partition by train/val/test")
     sp.add_argument("--snapshot", action="store_true",
-                    help="commit via the atomic snapshot table layer")
+                    help="commit via the atomic snapshot table layer; "
+                    "without --channels this runs the resumable "
+                    "SnapshotPipeline (crash-window-free restart)")
+    sp.add_argument("--units", type=int, default=16,
+                    help="work units for --snapshot resume granularity")
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("reconstruct", help="frames -> exact token arrays")

@@ -79,9 +79,14 @@ def _decode_real(payload: bytes, modality: str) -> np.ndarray:
     multimodal/image.py); video and compressed codecs (MP3/JPEG/...)
     still need ffmpeg-class libraries and keep the honest error."""
     if modality == "audio":
+        if payload[:4] == b"fLaC":
+            from audio_feature_extraction_spark.multimodal.flac import decode_flac
+
+            signal, _sr = decode_flac(payload)
+            return signal
         from audio_feature_extraction_spark.multimodal.wav import decode_wav
 
-        signal, _sr = decode_wav(payload)  # LoadError on non-WAV bytes
+        signal, _sr = decode_wav(payload)  # LoadError on non-WAV/FLAC bytes
         return signal
     if modality == "image":
         from audio_feature_extraction_spark.multimodal.image import decode_image

@@ -6,8 +6,9 @@ No external codec libraries: WAV/PCM is a trivial container, so the one
 format a user's raw bytes most commonly arrive in decodes for real even
 in this sandbox. Supported: PCM 8/16/24/32-bit int, IEEE float32/64,
 WAVE_FORMAT_EXTENSIBLE wrappers, any channel count (mixdown = channel
-mean, matching the reference's mono conversion). Compressed formats
-(MP3/OGG/FLAC) still raise at the documented seam.
+mean, matching the reference's mono conversion). FLAC decodes for real
+too (multimodal/flac.py); lossy formats (MP3/OGG) still raise at the
+documented seam.
 
 ``encode_pcm16`` is the inverse (mono int16 writer) — used by the
 round-trip tests and as a minimal media sink.

@@ -220,3 +220,100 @@ def fingerprints_oracle_sql(from_clause: str = "tokseq") -> str:
         f"SELECT doc_id, {fingerprint_expr(spark=False)} AS fingerprint "
         f"FROM {from_clause}"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+# The MassiveText/Gopher filters flag documents dominated by repeated
+# lines, repeated n-grams, or a single over-represented word. All counts
+# are exact integers with one final division, so the signals carry a
+# full DuckDB value oracle. The per-doc line/5-gram fractions are narrow
+# (array ops inside the row — no shuffle); the top-word share is one
+# explode + two-level groupBy, the classic partial-agg shape.
+
+def _rep_exprs(spark: bool, col: str = "text") -> dict[str, str]:
+    nl = "chr(10)"  # '\n' literal differs between dialects; chr(10) doesn't
+    if spark:
+        lines = f"filter(split({col}, {nl}), l -> length(l) > 0)"
+        words = f"filter(split(replace({col}, {nl}, ' '), ' '), w -> length(w) > 0)"
+        nl_ = f"size({lines})"
+        nw = f"size({words})"
+        grams = (
+            f"case when {nw} >= 5 then transform(sequence(1, {nw} - 4), "
+            f"i -> concat_ws(' ', slice({words}, i, 5))) "
+            f"else array() end"
+        )
+        dup = lambda arr, n: (  # noqa: E731
+            f"case when {n} = 0 then cast(0.0 as double) else "
+            f"cast({n} - size(array_distinct({arr})) as double) / {n} end"
+        )
+        ng = f"size({grams})"
+    else:
+        lines = f"list_filter(string_split({col}, {nl}), l -> length(l) > 0)"
+        words = (
+            f"list_filter(string_split(replace({col}, {nl}, ' '), ' '), "
+            f"w -> length(w) > 0)"
+        )
+        nl_ = f"len({lines})"
+        nw = f"len({words})"
+        grams = (
+            f"CASE WHEN {nw} >= 5 THEN list_transform(range(1, {nw} - 3), "
+            f"i -> array_to_string(({words})[i:i+4], ' ')) "
+            f"ELSE [] END"
+        )
+        dup = lambda arr, n: (  # noqa: E731
+            f"CASE WHEN {n} = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+            f"CAST({n} - len(list_distinct({arr})) AS DOUBLE) / {n} END"
+        )
+        ng = f"len({grams})"
+    return {
+        "words": words,
+        "n_lines": f"CAST({nl_} AS INTEGER)",
+        "n_words": f"CAST({nw} AS INTEGER)",
+        "dup_line_frac": dup(lines, nl_),
+        "dup_5gram_frac": dup(grams, ng),
+    }
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition signals: duplicate-line fraction, duplicate
+    word-5-gram fraction, and the most frequent word's share of all
+    words (``top_word_frac`` — null for word-less docs)."""
+    e = _rep_exprs(spark=True)
+    base = docs.selectExpr(
+        "doc_id",
+        f"{e['n_lines']} as n_lines",
+        f"{e['n_words']} as n_words",
+        f"{e['dup_line_frac']} as dup_line_frac",
+        f"{e['dup_5gram_frac']} as dup_5gram_frac",
+        f"{e['words']} as _words",
+    )
+    counts = (
+        base.select("doc_id", F.explode("_words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    top = counts.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_word_frac"
+        )
+    )
+    return base.drop("_words").join(top, "doc_id", "left")
+
+
+def repetition_stats_oracle_sql(from_clause: str = "documents") -> str:
+    e = _rep_exprs(spark=False)
+    return (
+        f"WITH base AS (SELECT doc_id, {e['n_lines']} AS n_lines, "
+        f"{e['n_words']} AS n_words, {e['dup_line_frac']} AS dup_line_frac, "
+        f"{e['dup_5gram_frac']} AS dup_5gram_frac, {e['words']} AS _words "
+        f"FROM {from_clause}), "
+        f"wc AS (SELECT doc_id, w.word, count(*) AS c FROM base, "
+        f"unnest(_words) AS w(word) GROUP BY 1, 2), "
+        f"top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) "
+        f"AS top_word_frac FROM wc GROUP BY 1) "
+        f"SELECT b.doc_id, b.n_lines, b.n_words, b.dup_line_frac, "
+        f"b.dup_5gram_frac, top.top_word_frac "
+        f"FROM base b LEFT JOIN top USING (doc_id)"
+    )

@@ -148,6 +148,11 @@ def run_queries(
         )
     )
     _noop(framing.frame_features(amplified.limit(20000), spec))
+    # warm the events file too — count() reads no data columns, so
+    # without this the first events query pays cold-cache disk I/O and
+    # best-of-2 can't save it (r02 recorded asof_join 4.0s that way;
+    # warm it measures 1.9s)
+    _noop(ev)
 
     timings: dict[str, float] = {}
 
@@ -218,8 +223,78 @@ def run_queries(
         "n_events": n_events,
         "seq_per_sec": round(n_seq / timings["frame_features"], 1),
     }
+    if not core_only:
+        # outside the e2e sum: latency evidence, not a throughput query
+        result["streaming_latency_ms"] = run_streaming_latency(spark)
     spark.stop()
     return result
+
+
+def run_streaming_latency(
+    spark, n_docs: int = 2000, chunk_size: int = 64, n_batches: int = 20
+) -> dict:
+    """Per-micro-batch latency for the stateful streaming extractor
+    (VERDICT r02 #5 — the reference's 100 ms chunk budget analog,
+    design.md:2064-2081).
+
+    ``n_docs`` docs split into ``chunk_size``-token chunks stream in as
+    ``n_batches`` file-triggers (each doc's chunks stay in one trigger);
+    the MicroBatchLatencyListener records real triggerExecution times.
+    Reported per-batch AND amortized per-chunk: a micro-batch carries
+    ~n_docs/n_batches docs' worth of chunks, so the honest comparison
+    against a per-chunk budget is batch_ms / chunks_per_batch.
+    """
+    import shutil
+    import tempfile
+
+    from audio_feature_extraction_spark.core.config import FrameSpec
+    from audio_feature_extraction_spark.sources.tokens import load_token_sequences
+    from audio_feature_extraction_spark.streaming import stream as st
+
+    spec = FrameSpec(frame_len=16, hop=8)
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(tmp, "in")
+        ts = load_token_sequences(spark, SF_DIR).limit(n_docs)
+        chunks = st.chunk_table(ts, chunk_size)
+        n_chunks = chunks.count()
+        chunks.repartition(n_batches, "doc_id").write.parquet(src)
+        stream_df = (
+            spark.readStream.schema(st.CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q, listener = st.stream_feature_extract(
+            stream_df,
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ck"),
+            spec,
+            latency_budget_ms=100.0,
+        )
+        try:
+            q.processAllAvailable()
+            for _ in range(40):  # listener events arrive asynchronously
+                stats = [s for s in listener.stats.values() if s.total >= n_batches]
+                if stats:
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+            spark.streams.removeListener(listener)
+        stats = max(listener.stats.values(), key=lambda s: s.total)
+        samples = sorted(stats.samples)
+        p50 = samples[len(samples) // 2] if samples else 0.0
+        per_batch_chunks = max(n_chunks / max(stats.total, 1), 1.0)
+        return {
+            "batches": stats.total,
+            "chunks": n_chunks,
+            "trigger_p50_ms": round(p50, 1),
+            "trigger_max_ms": round(stats.max_ms, 1),
+            "per_chunk_ms": round(p50 / per_batch_chunks, 3),
+            "chunk_budget_ms": 100.0,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:

@@ -64,3 +64,28 @@ def test_cli_pit(tmp_path):
     assert out.returncode == 0, out.stderr[-500:]
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["probes"] > 0 and rep["served"] <= rep["probes"]
+
+
+@pytest.mark.slow
+def test_cli_extract_snapshot_resume(tmp_path):
+    """extract --snapshot routes through SnapshotPipeline: a second run
+    over the same input is a no-op (all units already committed) and the
+    output is identical — the crash-window-free resume path."""
+    args = [
+        sys.executable, "-m", "audio_feature_extraction_spark.cli", "extract",
+        "--input", "/root/testdata/sf0.001", "--output", str(tmp_path / "ds"),
+        "--snapshot", "--units", "8",
+    ]
+    out1 = subprocess.run(
+        args, capture_output=True, text=True, cwd="/root/repo", timeout=600
+    )
+    assert out1.returncode == 0, out1.stderr[-500:]
+    rep1 = json.loads(out1.stdout.strip().splitlines()[-1])
+    assert rep1["rows"] > 0 and rep1["resume"] == "snapshot"
+
+    out2 = subprocess.run(
+        args, capture_output=True, text=True, cwd="/root/repo", timeout=600
+    )
+    assert out2.returncode == 0, out2.stderr[-500:]
+    rep2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert rep2["rows"] == rep1["rows"]  # rerun adds nothing

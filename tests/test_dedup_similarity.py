@@ -370,3 +370,27 @@ def test_minhash_kernel_tolerates_null_tokens(spark):
     assert len(sigs["d0"]) == len(sigs["d1"])
     # null tokens -> empty shingle set -> all-sentinel signature
     assert len(set(sigs["d1"])) == 1
+
+
+def test_repetition_stats_planted(spark):
+    """Planted repetition: a doc of one repeated line maxes the
+    dup-line/5-gram fractions; a diverse doc stays near zero."""
+    rows = [
+        ("rep", "spam spam spam spam spam spam\n" * 6, "en", "web", 180),
+        ("div", "one two three four five six seven eight nine ten", "en", "web", 49),
+        ("empty", "", "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id string, text string, lang string, source string, n_chars int"
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    r = out["rep"]
+    assert r.n_lines == 6 and r.dup_line_frac == pytest.approx(5 / 6)
+    assert r.dup_5gram_frac > 0.9          # one gram repeated throughout
+    assert r.top_word_frac == 1.0          # every word is 'spam'
+    d = out["div"]
+    assert d.dup_line_frac == 0.0 and d.dup_5gram_frac == 0.0
+    assert d.top_word_frac == pytest.approx(1 / 10)
+    e = out["empty"]
+    assert e.n_words == 0 and e.dup_line_frac == 0.0
+    assert e.top_word_frac is None

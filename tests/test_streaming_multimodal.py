@@ -561,3 +561,127 @@ def test_extract_media_features_real_image(spark):
     (row,) = extract_media_features(media, dim=4, decode_stub=False).collect()
     exp = _signal_features(img.decode_image(payload).ravel(), 4)
     np.testing.assert_allclose(np.array(row.features), exp, rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# FLAC codec (multimodal/flac.py)
+# ---------------------------------------------------------------------------
+
+def test_flac_roundtrip_all_subframe_types():
+    """decode(encode(x)) is bit-exact for every subframe type the
+    decoder supports: verbatim, constant, fixed 1/2 (rice and escaped
+    partitions), order-1 LPC."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(11)
+    # smooth-ish signal so rice-coded residuals stay small
+    x = np.round(
+        3000 * np.sin(np.arange(9000) / 25.0)
+        + rng.integers(-40, 40, size=9000)
+    ).astype(np.int64)
+    for mode, rp in [
+        ("verbatim", 6),
+        ("fixed1", 6),
+        ("fixed2", 6),
+        ("fixed2", None),   # escaped raw partition
+        ("lpc1", None),
+    ]:
+        payload = encode_flac(x, 22050, subframe=mode, rice_param=rp)
+        sig, sr = decode_flac(payload)
+        back = np.round(sig * 32768).astype(np.int64)
+        assert sr == 22050 and np.array_equal(back, x), mode
+
+    const = np.full(5000, -321, dtype=np.int64)
+    sig, sr = decode_flac(encode_flac(const, 8000, subframe="constant",
+                                      block_size=1000))
+    assert sr == 8000
+    assert np.array_equal(np.round(sig * 32768).astype(np.int64), const)
+
+
+def test_flac_mid_side_stereo_mixdown():
+    """Hand-built mid/side frame: the decoder reconstructs L/R exactly
+    and mixes down by channel mean (same convention as decode_wav)."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal import flac as fl
+
+    left = np.array([100, -200, 300, -400, 500, -600, 700, -800], np.int64)
+    right = np.array([90, -180, 270, -360, 450, -540, 630, -720], np.int64)
+    mid, side = (left + right) >> 1, left - right
+    n = len(left)
+
+    head = fl._BitWriter()
+    head.write(int.from_bytes(b"fLaC", "big"), 32)
+    head.write(0x80, 8); head.write(34, 24)
+    head.write(n, 16); head.write(n, 16)
+    head.write(0, 24); head.write(0, 24)
+    head.write(16000, 20)
+    head.write(1, 3)          # channels - 1 = 1 (stereo)
+    head.write(15, 5)         # bps - 1
+    head.write(n, 36)
+    for _ in range(16):
+        head.write(0, 8)
+
+    w = fl._BitWriter()
+    w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
+    w.write(7, 4)             # 16-bit blocksize at end of header
+    w.write(0, 4)             # sample rate from STREAMINFO
+    w.write(10, 4)            # mid/side
+    w.write(4, 3); w.write(0, 1)
+    w.write(0, 8)             # frame number 0
+    w.write(n - 1, 16)
+    w.align()
+    w.write(fl._crc8(bytes(w.buf)), 8)
+    for vals, bits in ((mid, 16), (side, 17)):
+        w.write(0, 1)         # padding
+        w.write(1, 6)         # VERBATIM
+        w.write(0, 1)         # no wasted bits
+        for v in vals:
+            w.write(int(v), bits)
+    w.align()
+    w.write(fl._crc16(bytes(w.buf)), 16)
+    payload = head.bytes() + w.bytes()
+
+    sig, sr = fl.decode_flac(payload)
+    assert sr == 16000
+    expect = (left + right) / 2.0 / 32768.0
+    assert np.allclose(sig, expect, atol=0, rtol=0)
+
+
+def test_flac_corrupt_payloads_raise_loaderror():
+    import numpy as np
+    import pytest
+
+    from audio_feature_extraction_spark.core.errors import LoadError
+    from audio_feature_extraction_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    with pytest.raises(LoadError):
+        decode_flac(b"NOTF" + b"\x00" * 60)
+    good = bytearray(encode_flac(np.arange(100, dtype=np.int64), 8000))
+    good[-3] ^= 0xFF          # flip a bit inside the last frame body
+    with pytest.raises(LoadError):
+        decode_flac(bytes(good))
+
+
+def test_extract_media_features_real_flac(spark):
+    """FLAC payloads flow through the real-decode seam end-to-end."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal import binary as mm
+    from audio_feature_extraction_spark.multimodal.flac import encode_flac
+
+    x = np.round(8000 * np.sin(np.arange(4000) / 16.0)).astype(np.int64)
+    rows = [("fa", "audio", bytearray(encode_flac(x, 16000)),
+             (None, None, 16000, None, "flac"))]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.extract_media_features(df, dim=8, decode_stub=False).collect()
+    assert len(out) == 1 and len(out[0].features) == 8
+    assert max(out[0].features) > 0.0
