@@ -141,6 +141,31 @@ def cmd_mix(args) -> int:
     return 0
 
 
+def cmd_prepare_corpus(args) -> int:
+    """The full pretraining-data pipeline: exact dedup -> near-dup ->
+    quality filter -> decontamination -> mixing -> packing, with a
+    per-stage accounting report."""
+    from audio_feature_extraction_spark.plans import corpus
+
+    spark = get_spark(app_name="afes-prepare-corpus")
+    rates = dict(
+        (kv.split("=", 1)[0], float(kv.split("=", 1)[1]))
+        for kv in (args.rate or [])
+    )
+    cfg = corpus.CorpusConfig(
+        rates=rates,
+        default_rate=args.default_rate,
+        block_len=args.block_len,
+        jaccard_threshold=args.threshold,
+    )
+    mixed, blocks, report = corpus.prepare_corpus(spark, args.input, cfg)
+    mixed.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    blocks.write.mode("overwrite").parquet(f"{args.output}/blocks")
+    print(json.dumps({"command": "prepare-corpus", **report}))
+    spark.stop()
+    return 0
+
+
 def cmd_split(args) -> int:
     spark = get_spark(app_name="afes-split")
     ts = load_token_sequences(spark, args.input)
@@ -318,6 +343,20 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--block-len", type=int, default=4096)
     sp.set_defaults(fn=cmd_pack)
+
+    sp = sub.add_parser(
+        "prepare-corpus",
+        help="full pipeline: dedup -> near-dup -> quality -> "
+        "decontaminate -> mix -> pack",
+    )
+    common(sp)
+    sp.add_argument("--rate", action="append",
+                    help="source=rate mixing weight (repeatable)")
+    sp.add_argument("--default-rate", type=float, default=1.0)
+    sp.add_argument("--block-len", type=int, default=4096)
+    sp.add_argument("--threshold", type=float, default=0.7,
+                    help="near-dup Jaccard confirm threshold")
+    sp.set_defaults(fn=cmd_prepare_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

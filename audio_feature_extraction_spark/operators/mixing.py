@@ -49,7 +49,10 @@ def _rate_hash(num_expr: str, epoch_expr: str, seed: int) -> str:
 
 def sample_rate_case(rates: dict[str, float], default: float) -> str:
     """CASE expression mapping source -> mixing rate (works verbatim in
-    both dialects)."""
+    both dialects). Empty rate maps collapse to the default literal —
+    a branchless CASE is a parse error in both engines."""
+    if not rates:
+        return f"({default!r})"
     branches = " ".join(
         f"WHEN '{s}' THEN {r!r}" for s, r in sorted(rates.items())
     )

@@ -1,0 +1,124 @@
+"""End-to-end pretraining-corpus preparation — the integration story.
+
+Chains the engine's LLM-data operators into the pipeline a real corpus
+run executes, in the canonical order:
+
+1. exact dedup        (hash groupBy on text — drop byte-identical docs)
+2. near-dup removal   (MinHash-LSH candidates -> exact n-gram Jaccard
+                       verify -> greedy keep-lowest-id survivor)
+3. quality filter     (Gopher-style repetition rules + minimum length)
+4. decontamination    (drop TRAIN docs sharing 8-gram shingles with the
+                       held-out test split)
+5. corpus mixing      (per-source rates with upsampling epochs)
+6. sequence packing   (fixed-length training-block manifest)
+
+Every stage is one of the individually oracle-checked operators; this
+module only composes them and accounts for what each stage dropped.
+Scale shape is the sum of its parts: narrow maps + hash-partitioned
+groupBys/joins, no collect, no cross join — the same plan at sf0.001
+and at 100 TB.
+
+Greedy near-dup survivor note: a confirmed pair (a, b) with a < b drops
+b. This is the standard single-pass policy (keeps connected components'
+minimum only when the candidate graph covers the component — LSH
+recall-dependent, like every production dedup); a union-find pass over
+confirmed pairs is a drop-in refinement when exact component semantics
+are required.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from audio_feature_extraction_spark.operators import dedup, mixing, split, textstats
+from audio_feature_extraction_spark.sources.tokens import load_token_sequences
+
+
+@dataclass
+class CorpusConfig:
+    rates: dict[str, float] = field(default_factory=dict)
+    default_rate: float = 1.0
+    block_len: int = 4096
+    jaccard_threshold: float = 0.7
+    max_dup_line_frac: float = 0.5
+    max_top_word_frac: float = 0.5
+    min_words: int = 5
+    contamination_n: int = 8
+    lsh_max_bucket: int = 1000
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: CorpusConfig | None = None,
+    docs: DataFrame | None = None,
+    tokseq: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Run the 6-stage pipeline; returns (kept token sequences with
+    epochs, packed-block manifest, per-stage report dict).
+
+    ``docs``/``tokseq`` override the default sf_dir tables (tests plant
+    rows that way); tokseq doc_ids must be ``doc_<documents.doc_id>``.
+    """
+    cfg = cfg or CorpusConfig()
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if tokseq is None:
+        tokseq = load_token_sequences(spark, sf_dir)
+    report: dict = {"input_docs": docs.count()}
+
+    # 1. exact dedup (text hash) — survivors keep the min doc_id
+    kept = dedup.exact_dedup(docs).select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id")
+    )
+    ts = tokseq.join(kept, "doc_id")  # id-set join; AQE picks the strategy
+    report["after_exact_dedup"] = ts.count()
+
+    # 2. near-dup removal: LSH candidates -> exact Jaccard -> greedy drop
+    pairs = dedup.lsh_candidate_pairs(ts, max_bucket_size=cfg.lsh_max_bucket)
+    confirmed = dedup.jaccard_on_pairs(pairs, ts).where(
+        F.col("jaccard") >= cfg.jaccard_threshold
+    )
+    drop = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
+    ts = ts.join(drop, "doc_id", "left_anti")
+    report["after_near_dedup"] = ts.count()
+
+    # 3. quality filter: repetition + minimum length
+    rep = textstats.repetition_stats(docs)
+    bad_quality = rep.where(
+        (F.col("dup_line_frac") > cfg.max_dup_line_frac)
+        | (F.col("top_word_frac") > cfg.max_top_word_frac)
+        | (F.col("n_words") < cfg.min_words)
+    ).select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id")
+    )
+    ts = ts.join(bad_quality, "doc_id", "left_anti")
+    report["after_quality"] = ts.count()
+
+    # 4. decontamination: drop TRAIN docs sharing shingles with TEST
+    tagged = split.assign_split(ts, "doc_id")
+    train = tagged.where("split = 'train'")
+    heldout = tagged.where("split != 'train'")
+    contaminated = dedup.contamination(
+        train, heldout, n=cfg.contamination_n
+    ).where(F.col("n_matched") > 0).select("doc_id")
+    ts = tagged.join(contaminated, "doc_id", "left_anti").drop("split")
+    report["after_decontamination"] = ts.count()
+
+    # 5. corpus mixing: per-source rates, deterministic epochs
+    mixed = mixing.sample_by_rates(ts, cfg.rates, default=cfg.default_rate)
+    report["after_mixing"] = mixed.count()
+
+    # 6. pack into fixed training blocks (epoch copies get distinct ids
+    # so the packer's (source, doc_id) order stays total)
+    packable = mixed.withColumn(
+        "doc_id", F.concat_ws("#e", "doc_id", F.col("epoch").cast("string"))
+    )
+    blocks = mixing.pack_blocks(packable, cfg.block_len)
+    report["packed_slices"] = blocks.count()
+    report["n_blocks"] = blocks.select("source", "block_id").distinct().count()
+    report["block_len"] = cfg.block_len
+    return mixed, blocks, report

@@ -94,3 +94,72 @@ def test_packing_block_offsets_disjoint(spark, corpus):
         spans.sort()
         for a, b in zip(spans, spans[1:]):
             assert a[1] == b[0], (key, a, b)  # contiguous, non-overlapping
+
+
+def test_prepare_corpus_pipeline(spark):
+    """End-to-end corpus prep over planted rows: each stage drops
+    exactly its planted offender and the accounting report agrees."""
+    from pyspark.sql import functions as F
+
+    from audio_feature_extraction_spark.operators import split as split_op
+    from audio_feature_extraction_spark.plans import corpus
+    from audio_feature_extraction_spark.sources.tokens import tokenize_expr
+
+    def words(seed, n):
+        # the word-hash tokenizer keys on (first char, length, last char)
+        # — vary all three so distinct seeds give distinct token streams
+        return " ".join(
+            chr(97 + (seed * 5 + i * 3) % 26)
+            + "x" * ((seed * 3 + i) % 7)
+            + chr(97 + (seed * 11 + i * 7) % 26)
+            for i in range(n)
+        )
+
+    base = {i: words(i, 30) for i in range(20)}
+    # find one train and one held-out id under the pipeline's id scheme
+    probe = spark.createDataFrame([(f"doc_{i}",) for i in base], "doc_id string")
+    sp = {r.doc_id: r.split for r in split_op.assign_split(probe, "doc_id").collect()}
+    train_id = next(i for i in base if sp[f"doc_{i}"] == "train")
+    test_id = next(i for i in base if sp[f"doc_{i}"] != "train")
+    # decontamination plant: train doc copies a 10-word span of the test doc
+    base[train_id] = " ".join(base[test_id].split()[:10]) + " " + words(999, 10)
+
+    rows = [(i, t, "en", "web", len(t)) for i, t in base.items()]
+    rows.append((100, base[0], "en", "web", len(base[0])))    # exact dup of 0
+    near = base[1].split()
+    near[-1] = "zzzdiff"
+    rows.append((101, " ".join(near), "en", "web", 0))        # near-dup of 1
+    rows.append((102, ("spam " * 40).strip(), "en", "web", 0))  # quality fail
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    toks = tokenize_expr()
+    tokseq = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        "source",
+    )
+    mixed, blocks, report = corpus.prepare_corpus(
+        spark, "", cfg=corpus.CorpusConfig(block_len=64),
+        docs=docs, tokseq=tokseq,
+    )
+    kept = {r.doc_id for r in mixed.select("doc_id").distinct().collect()}
+
+    assert report["input_docs"] == 23
+    assert report["after_exact_dedup"] == 22          # doc_100 gone
+    assert "doc_100" not in kept
+    assert report["after_near_dedup"] == 21           # doc_101 gone
+    assert "doc_101" not in kept
+    assert report["after_quality"] == 20              # doc_102 gone
+    assert "doc_102" not in kept
+    assert report["after_decontamination"] == 19      # planted train doc gone
+    assert f"doc_{train_id}" not in kept
+    assert f"doc_{test_id}" in kept                   # held-out side untouched
+    # default rate 1.0 -> one epoch, mixing drops nothing
+    assert report["after_mixing"] == 19
+    assert report["packed_slices"] >= report["n_blocks"] >= 1
+    # manifest covers every kept token exactly once
+    total_tokens = mixed.agg(F.sum("n_tok")).collect()[0][0]
+    slice_tokens = blocks.agg(F.sum("slice_len")).collect()[0][0]
+    assert slice_tokens == total_tokens
