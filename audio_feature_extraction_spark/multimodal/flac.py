@@ -428,19 +428,27 @@ def encode_flac(
         w.write(_crc8(partial), 8)
 
         w.write(0, 1)  # subframe padding bit
-        if subframe == "constant":
+        mode = subframe
+        # a tail block shorter than the predictor order can't carry that
+        # predictor — fall back to verbatim for just that block
+        if (mode in ("fixed1", "lpc1") and n <= 1) or (
+            mode == "fixed2" and n <= 2
+        ):
+            mode = "verbatim"
+        subframe_blk = mode
+        if subframe_blk == "constant":
             if not np.all(blk == blk[0]):
                 raise ValueError("constant subframe needs a constant block")
             w.write(0, 6)
             w.write(0, 1)
             w.write(int(blk[0]), bps)
-        elif subframe == "verbatim":
+        elif subframe_blk == "verbatim":
             w.write(1, 6)
             w.write(0, 1)
             for v in blk:
                 w.write(int(v), bps)
-        elif subframe in ("fixed1", "fixed2"):
-            order = 1 if subframe == "fixed1" else 2
+        elif subframe_blk in ("fixed1", "fixed2"):
+            order = 1 if subframe_blk == "fixed1" else 2
             if n <= order:
                 raise ValueError("block too short for fixed order")
             w.write(8 + order, 6)
@@ -462,7 +470,7 @@ def encode_flac(
             else:
                 w.write(rice_param, 4)
                 _rice_encode(w, res, rice_param)
-        elif subframe == "lpc1":
+        elif subframe_blk == "lpc1":
             if n <= 1:
                 raise ValueError("block too short for LPC")
             w.write(32, 6)  # LPC order 1

@@ -493,3 +493,84 @@ def simhash_oracle_sql(from_clause: str = "tokseq") -> str:
         f"SELECT doc_id, CAST({simhash_expr(spark=False)} AS BIGINT) AS simhash "
         f"FROM {from_clause}"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact connected components over confirmed duplicate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(a, b) edges -> (doc_id, component) where component = the MIN
+    doc_id reachable through the duplicate graph.
+
+    The greedy pair-drop policy (drop doc_b of every confirmed pair)
+    under-merges chains like a~b, b~c when (a, c) was never a candidate;
+    component labeling fixes that exactly. Implementation is iterative
+    hash-to-min label propagation: each round every node takes the min
+    label in its closed neighborhood, converging in O(graph diameter)
+    rounds (duplicate clusters are near-cliques, so 2-4 rounds in
+    practice; ``max_iter`` is a safety bound and raises if exceeded
+    rather than returning wrong labels). Each round is two
+    hash-partitioned joins + a groupBy min — no driver-side graph, and
+    ``localCheckpoint`` truncates the lineage so round N's plan does not
+    replay rounds 1..N-1. The classic large-star/small-star variant is
+    the drop-in refinement if diameters ever grow adversarial.
+    """
+    F_ = F
+    e = pairs.select(
+        F_.col(a_col).alias("src"), F_.col(b_col).alias("dst")
+    ).where(F_.col("src") != F_.col("dst"))
+    edges = e.unionByName(
+        e.select(F_.col("dst").alias("src"), F_.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F_.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F_.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F_.min("comp").alias("nmin"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh_min, "id", "left")
+            .select(
+                "id",
+                F_.least(F_.col("comp"), F_.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F_.col("n.comp") != F_.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F_.col("id").alias("doc_id"), "comp")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_survivors_by_component(
+    docs_ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact near-dup survivors: every doc keeps iff it is its
+    component's min id (docs in no pair are their own component)."""
+    comp = connected_components(pairs)
+    return (
+        docs_ids.join(comp, id_col, "left")
+        .where(F.col("comp").isNull() | (F.col("comp") == F.col(id_col)))
+        .drop("comp")
+    )

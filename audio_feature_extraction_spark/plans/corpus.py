@@ -48,6 +48,10 @@ class CorpusConfig:
     min_words: int = 5
     contamination_n: int = 8
     lsh_max_bucket: int = 1000
+    # exact connected-components survivors instead of the greedy
+    # pair-drop (fixes under-merged chains a~b~c at the cost of an
+    # iterative label-propagation pass over the confirmed-pair graph)
+    exact_components: bool = False
 
 
 def prepare_corpus(
@@ -82,8 +86,13 @@ def prepare_corpus(
     confirmed = dedup.jaccard_on_pairs(pairs, ts).where(
         F.col("jaccard") >= cfg.jaccard_threshold
     )
-    drop = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
-    ts = ts.join(drop, "doc_id", "left_anti")
+    if cfg.exact_components:
+        ts = dedup.dedup_survivors_by_component(
+            ts, confirmed.select("doc_a", "doc_b")
+        )
+    else:
+        drop = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
+        ts = ts.join(drop, "doc_id", "left_anti")
     report["after_near_dedup"] = ts.count()
 
     # 3. quality filter: repetition + minimum length

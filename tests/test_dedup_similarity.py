@@ -394,3 +394,32 @@ def test_repetition_stats_planted(spark):
     e = out["empty"]
     assert e.n_words == 0 and e.dup_line_frac == 0.0
     assert e.top_word_frac is None
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain a~b~c merges into one component even though (a, c) was
+    never a candidate pair — the case the greedy pair-drop misses."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "x"), ("m", "m")],
+        "doc_a string, doc_b string",
+    )
+    comp = {r.doc_id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    ids = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("solo",)], "doc_id string"
+    )
+    kept = {r.doc_id for r in
+            dedup.dedup_survivors_by_component(ids, pairs).collect()}
+    assert kept == {"a", "x", "solo"}
+
+
+def test_connected_components_long_path(spark):
+    """A 12-node path needs multiple propagation rounds; labels still
+    converge to the global min."""
+    nodes = [f"n{i:02d}" for i in range(12)]
+    pairs = spark.createDataFrame(
+        list(zip(nodes, nodes[1:])), "doc_a string, doc_b string"
+    )
+    comp = {r.doc_id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert set(comp.values()) == {"n00"} and len(comp) == 12

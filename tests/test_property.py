@@ -84,3 +84,37 @@ def test_streaming_recurrence_equals_batch(tokens, spec, chunks):
 def test_roundtrip_property(tokens, spec):
     frs = oracle.frames(tokens, spec.frame_len, spec.hop)
     assert oracle.reconstruct(frs, spec.frame_len, spec.hop) == tokens
+
+
+# ---------------------------------------------------------------------------
+# FLAC codec round-trip property (multimodal/flac.py)
+# ---------------------------------------------------------------------------
+
+flac_signals = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=600
+)
+flac_modes = st.sampled_from(
+    [("verbatim", 6), ("fixed1", 4), ("fixed2", None), ("lpc1", None)]
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(sig=flac_signals, mode=flac_modes, block=st.sampled_from([64, 192, 600]))
+def test_flac_roundtrip_property(sig, mode, block):
+    from audio_feature_extraction_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    subframe, rp = mode
+    x = np.asarray(sig, dtype=np.int64)
+    if subframe in ("fixed1", "lpc1") and len(x) <= 1:
+        x = np.concatenate([x, [0]])
+    if subframe == "fixed2" and len(x) <= 2:
+        x = np.concatenate([x, [0, 0]])
+    payload = encode_flac(x, 16000, subframe=subframe, rice_param=rp,
+                          block_size=block)
+    out, sr = decode_flac(payload)
+    back = np.round(out * 32768).astype(np.int64)
+    assert sr == 16000
+    assert np.array_equal(back, x)
