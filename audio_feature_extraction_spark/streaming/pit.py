@@ -1,0 +1,137 @@
+"""Streaming point-in-time feature serving — the online twin of
+``operators/asof.asof_join``.
+
+The batch as-of join answers "what was the latest state at each probe's
+timestamp" over history; the ONLINE feature store answers the same
+question as events arrive. One unioned stream (state rows + probe rows)
+grouped by entity runs through ``applyInPandasWithState``:
+
+* state = the latest (value, ts, seq) seen for the entity — exactly the
+  carry the batch window computes, held in the state store instead;
+* each probe row is served from the carried state and emitted
+  immediately (append mode);
+* null-valued states are TRANSPARENT (do not advance the carry), the
+  TTL nulls out stale serves — both matching ``asof_join``'s contract;
+* within a micro-batch rows apply in (ts, tag, seq) order (state before
+  probe at equal ts), so replaying history through the stream in order
+  reproduces the batch join row-for-row (tested).
+
+Late-data policy (T9): a state row older than the already-carried one is
+REJECTED (it cannot retroactively re-serve probes that were already
+emitted — the online analog of the batch join's leakage refusal; use the
+batch join for backfills). This is deliberately ``asof_join`` semantics
+only for in-order streams; cross-batch disorder degrades to
+serve-with-latest-arrival, the standard online-store behavior.
+
+Scale shape: state is ONE small row per entity (value + two longs) in
+the state store, the minimum possible; the shuffle is the same
+entity-hash exchange the batch join does once per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PIT_STATE_SCHEMA = "v double, ts long, seq long"
+PIT_OUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, asof_value double, "
+    "asof_ts timestamp"
+)
+
+
+def tag_pit_stream(
+    events: DataFrame,
+    probe_filter: str,
+    state_filter: str,
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Project an event stream to the unioned (entity, ts, tag, seq, v)
+    shape the serving operator consumes. tag 0 = state, 1 = probe."""
+    return events.select(
+        F.col(entity).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.when(F.expr(probe_filter), F.lit(1))
+        .when(F.expr(state_filter), F.lit(0))
+        .alias("tag"),
+        F.col(seq_col).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("tag").isNotNull())
+
+
+def stream_pit_serve(
+    tagged: DataFrame,
+    max_staleness_seconds: float | None = None,
+) -> DataFrame:
+    """(entity, ts, tag, seq, v) stream -> served probe stream.
+
+    Output: one row per probe with the latest non-null state value at
+    serve time (nulls when no prior state, or older than the TTL). The
+    equivalence test replays in-order history through a real two-trigger
+    streaming query and matches ``asof_join`` on the same events
+    row-for-row.
+    """
+    ttl_us = (
+        int(max_staleness_seconds * 1_000_000)
+        if max_staleness_seconds is not None
+        else None
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sv, sts, sseq = state.get
+        else:
+            sv, sts, sseq = None, None, None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "tag", "event_id"])
+            for row in pdf.itertuples(index=False):
+                ts_us = row.ts.value // 1000  # pandas Timestamp -> micros
+                if row.tag == 0:
+                    if row.v is None or pd.isna(row.v):
+                        continue  # transparent state
+                    # reject out-of-order states older than the carry
+                    if sts is not None and (
+                        ts_us, row.event_id
+                    ) < (sts, sseq if sseq is not None else -1):
+                        continue
+                    sv, sts, sseq = float(row.v), ts_us, int(row.event_id)
+                else:
+                    v, t = sv, sts
+                    if v is not None and ttl_us is not None and (
+                        ts_us - sts > ttl_us
+                    ):
+                        v, t = None, None
+                    out.append(
+                        (
+                            key[0],
+                            int(row.event_id),
+                            row.ts,
+                            v,
+                            pd.Timestamp(t * 1000, unit="ns") if t is not None else pd.NaT,
+                        )
+                    )
+        if sts is not None:
+            state.update((sv, sts, sseq if sseq is not None else -1))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_id", "ts", "asof_value", "asof_ts"],
+            )
+
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=PIT_OUT_SCHEMA,
+        stateStructType=PIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -685,3 +685,84 @@ def test_extract_media_features_real_flac(spark):
     out = mm.extract_media_features(df, dim=8, decode_stub=False).collect()
     assert len(out) == 1 and len(out[0].features) == 8
     assert max(out[0].features) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# streaming point-in-time serving (streaming/pit.py)
+# ---------------------------------------------------------------------------
+
+def test_stream_pit_serve_matches_batch_asof(spark, tmp_path):
+    """In-order history replayed through a real two-trigger streaming
+    query serves every probe exactly like the batch as-of join."""
+    import datetime as dt
+
+    from audio_feature_extraction_spark.operators import asof
+    from audio_feature_extraction_spark.streaming import pit
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, minutes, user, etype, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, value)
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double")
+    batch1 = [
+        ev(0, 0, 1, "click", 1.0),
+        ev(1, 5, 1, "view", None),       # probe -> 1.0
+        ev(2, 6, 2, "view", None),       # probe, no state -> null
+        ev(3, 8, 1, "click", None),      # transparent null state
+        ev(4, 9, 1, "view", None),       # probe -> still 1.0
+    ]
+    batch2 = [
+        ev(5, 10, 1, "click", 7.0),
+        ev(6, 11, 1, "view", None),      # probe -> 7.0 (state crossed batch)
+        ev(7, 12, 2, "click", 3.0),
+        ev(8, 400, 2, "view", None),     # probe -> TTL-expired below
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    tagged = pit.tag_pit_stream(
+        events, "event_type = 'view'", "event_type = 'click'"
+    )
+    served = pit.stream_pit_serve(tagged, max_staleness_seconds=3600.0)
+    q = (
+        served.writeStream.format("memory")
+        .queryName("pit_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+        got = {
+            r.event_id: (r.asof_value, r.asof_ts)
+            for r in spark.sql("select * from pit_out").collect()
+        }
+    finally:
+        q.stop()
+
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        r.event_id: (r.asof_value, r.asof_ts)
+        for r in asof.asof_join(
+            all_events.where("event_type = 'view'"),
+            all_events.where("event_type = 'click'"),
+            max_staleness_seconds=3600.0,
+        ).collect()
+    }
+    assert got == expect and len(got) == 5
+    assert got[1] == (1.0, t0)               # served across the null state
+    assert got[2][0] is None                 # probe before any state
+    assert got[6][0] == 7.0                  # state carried across triggers
+    assert got[8][0] is None                 # TTL expired
