@@ -147,6 +147,8 @@ def asof_join_multi(
     ts_col: str = "ts",
     value_col: str = "value",
     seq_col: str = "event_id",
+    strict: bool = False,
+    max_staleness_seconds: float | None = None,
 ) -> DataFrame:
     """Multi-source point-in-time join: each probe gets the latest value
     from EVERY feature source — the feature-store serving shape (N state
@@ -157,8 +159,14 @@ def asof_join_multi(
     SAME window — so the whole join is still a single exchange + sort,
     not N sequential joins. Output: probe keys + ``asof_<name>`` /
     ``asof_<name>_ts`` per source.
+
+    ``strict`` and ``max_staleness_seconds`` mirror ``asof_join``:
+    strictly-before boundary semantics and a per-source staleness TTL
+    (a source's pair nulls out when its carried state is older than the
+    TTL at probe time).
     """
     names = list(sources)
+    state_tag, probe_tag = (0, 1) if not strict else (1, 0)
     tagged = []
     vtype = None
     for i, name in enumerate(names):
@@ -167,7 +175,7 @@ def asof_join_multi(
         st = src.select(
             F.col(entity),
             F.col(ts_col),
-            F.lit(0).alias("_tag"),
+            F.lit(state_tag).alias("_tag"),
             F.col(seq_col).alias("_seq"),
             F.lit(i).alias("_src"),
             F.when(
@@ -177,16 +185,18 @@ def asof_join_multi(
                     F.col(ts_col).cast("timestamp").alias("t"),
                 ),
             ).alias("_s"),
+            F.lit(None).cast("boolean").alias("_is_probe"),
         )
         tagged.append(st)
     stype = f"struct<v:{vtype.simpleString()},t:timestamp>"
     pr = probes.select(
         F.col(entity),
         F.col(ts_col),
-        F.lit(1).alias("_tag"),
+        F.lit(probe_tag).alias("_tag"),
         F.col(seq_col).alias("_seq"),
         F.lit(None).cast("int").alias("_src"),
         F.lit(None).cast(stype).alias("_s"),
+        F.lit(True).alias("_is_probe"),
     )
     u = tagged[0]
     for t in tagged[1:]:
@@ -198,6 +208,11 @@ def asof_join_multi(
         .orderBy(ts_col, "_tag", "_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    ttl_us = (
+        int(max_staleness_seconds * 1_000_000)
+        if max_staleness_seconds is not None
+        else None
+    )
     out = u
     cols = []
     for i, name in enumerate(names):
@@ -205,11 +220,18 @@ def asof_join_multi(
         # other sources AND for null-valued states (transparency)
         s = F.when(F.col("_src") == i, F.col("_s"))
         out = out.withColumn(f"_c{i}", F.last(s, ignorenulls=True).over(w))
-        out = out.withColumn(f"asof_{name}", F.col(f"_c{i}.v")).withColumn(
-            f"asof_{name}_ts", F.col(f"_c{i}.t")
+        v, t = F.col(f"_c{i}.v"), F.col(f"_c{i}.t")
+        if ttl_us is not None:
+            fresh = (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(t)
+            ) <= F.lit(ttl_us)
+            v, t = F.when(fresh, v), F.when(fresh, t)
+        out = out.withColumn(f"asof_{name}", v).withColumn(
+            f"asof_{name}_ts", t
         )
         cols += [f"asof_{name}", f"asof_{name}_ts"]
-    return out.where(F.col("_tag") == 1).select(
+    return out.where(F.col("_is_probe")).select(
         F.col(entity), F.col("_seq").alias(seq_col), F.col(ts_col), *cols
     )
 

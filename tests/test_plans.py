@@ -229,3 +229,18 @@ def test_contamination_degrades_to_shuffle_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_round3_ops_plan_shapes(spark):
+    """Round-3 operators keep the 100 TB shapes."""
+    from audio_feature_extraction_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rep = textstats.repetition_stats(docs)
+    # line/5-gram fractions are in-row array ops; the only exchanges are
+    # the top-word (doc, word) partial-agg pair + the join back
+    assert _n_exchanges(rep) <= 3
+    # the documents scan is pruned to the columns the op touches
+    plan = _plan(rep)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" in scan and "lang" not in scan and "n_chars" not in scan

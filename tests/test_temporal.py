@@ -213,3 +213,33 @@ def test_rolling_causal(spark, events):
     assert by_id[2].roll_avg == (10.0 + 0.0) / 2
     # first row per entity sees only itself — causality
     assert by_id[1].roll_n == 1
+
+
+@pytest.mark.parametrize("mode", ["strict", "ttl"])
+def test_asof_multi_strict_and_ttl_match_single(spark, events, mode):
+    """Multi-source strict/TTL semantics == independent single-source
+    as-ofs with the same options, per source."""
+    kw = {"strict": True} if mode == "strict" else {
+        "max_staleness_seconds": 21600.0
+    }
+    probes = events.where(F.col("event_type") == "view")
+    multi = {
+        r.event_id: (r.asof_click, r.asof_click_ts,
+                     r.asof_purchase, r.asof_purchase_ts)
+        for r in asof.asof_join_multi(
+            probes,
+            {
+                "click": events.where(F.col("event_type") == "click"),
+                "purchase": events.where(F.col("event_type") == "purchase"),
+            },
+            **kw,
+        ).collect()
+    }
+    for idx, typ in ((0, "click"), (2, "purchase")):
+        single = {
+            r.event_id: (r.asof_value, r.asof_ts)
+            for r in asof.asof_join(
+                probes, events.where(F.col("event_type") == typ), **kw
+            ).collect()
+        }
+        assert {k: (v[idx], v[idx + 1]) for k, v in multi.items()} == single
