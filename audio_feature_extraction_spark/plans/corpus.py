@@ -52,6 +52,13 @@ class CorpusConfig:
     # pair-drop (fixes under-merged chains a~b~c at the cost of an
     # iterative label-propagation pass over the confirmed-pair graph)
     exact_components: bool = False
+    # per-stage row counts in the report. Each count materializes the
+    # chain-so-far, so accounting caches every stage (persist + count,
+    # released once the next stage lands). accounting=False skips the
+    # counts AND the caching: one lazy plan end-to-end, materialized
+    # once by the final write — the 100 TB production mode, where stage
+    # counts come from the written manifest instead of extra passes.
+    accounting: bool = True
 
 
 def prepare_corpus(
@@ -72,14 +79,30 @@ def prepare_corpus(
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if tokseq is None:
         tokseq = load_token_sequences(spark, sf_dir)
-    report: dict = {"input_docs": docs.count()}
+    report: dict = {}
+    _prev: list[DataFrame] = []
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        if not cfg.accounting:
+            return df
+        df = df.persist()
+        report[name] = df.count()
+        while _prev:  # previous stage fully consumed — release it
+            _prev.pop().unpersist()
+        _prev.append(df)
+        return df
+
+    if cfg.accounting:
+        report["input_docs"] = docs.count()
 
     # 1. exact dedup (text hash) — survivors keep the min doc_id
     kept = dedup.exact_dedup(docs).select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id")
     )
-    ts = tokseq.join(kept, "doc_id")  # id-set join; AQE picks the strategy
-    report["after_exact_dedup"] = ts.count()
+    ts = stage(
+        tokseq.join(kept, "doc_id"),  # id-set join; AQE picks the strategy
+        "after_exact_dedup",
+    )
 
     # 2. near-dup removal: LSH candidates -> exact Jaccard -> greedy drop
     pairs = dedup.lsh_candidate_pairs(ts, max_bucket_size=cfg.lsh_max_bucket)
@@ -93,7 +116,7 @@ def prepare_corpus(
     else:
         drop = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
         ts = ts.join(drop, "doc_id", "left_anti")
-    report["after_near_dedup"] = ts.count()
+    ts = stage(ts, "after_near_dedup")
 
     # 3. quality filter: repetition + minimum length
     rep = textstats.repetition_stats(docs)
@@ -104,8 +127,7 @@ def prepare_corpus(
     ).select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id")
     )
-    ts = ts.join(bad_quality, "doc_id", "left_anti")
-    report["after_quality"] = ts.count()
+    ts = stage(ts.join(bad_quality, "doc_id", "left_anti"), "after_quality")
 
     # 4. decontamination: drop TRAIN docs sharing shingles with TEST
     tagged = split.assign_split(ts, "doc_id")
@@ -114,12 +136,16 @@ def prepare_corpus(
     contaminated = dedup.contamination(
         train, heldout, n=cfg.contamination_n
     ).where(F.col("n_matched") > 0).select("doc_id")
-    ts = tagged.join(contaminated, "doc_id", "left_anti").drop("split")
-    report["after_decontamination"] = ts.count()
+    ts = stage(
+        tagged.join(contaminated, "doc_id", "left_anti").drop("split"),
+        "after_decontamination",
+    )
 
     # 5. corpus mixing: per-source rates, deterministic epochs
-    mixed = mixing.sample_by_rates(ts, cfg.rates, default=cfg.default_rate)
-    report["after_mixing"] = mixed.count()
+    mixed = stage(
+        mixing.sample_by_rates(ts, cfg.rates, default=cfg.default_rate),
+        "after_mixing",
+    )
 
     # 6. pack into fixed training blocks (epoch copies get distinct ids
     # so the packer's (source, doc_id) order stays total)
@@ -127,7 +153,10 @@ def prepare_corpus(
         "doc_id", F.concat_ws("#e", "doc_id", F.col("epoch").cast("string"))
     )
     blocks = mixing.pack_blocks(packable, cfg.block_len)
-    report["packed_slices"] = blocks.count()
-    report["n_blocks"] = blocks.select("source", "block_id").distinct().count()
+    if cfg.accounting:
+        report["packed_slices"] = blocks.count()
+        report["n_blocks"] = (
+            blocks.select("source", "block_id").distinct().count()
+        )
     report["block_len"] = cfg.block_len
     return mixed, blocks, report
