@@ -931,11 +931,29 @@ def q_asof_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 semantics: staleness TTL and strictly-before boundary."""
+    """J5 semantics: staleness TTL and strictly-before boundary, each
+    through BOTH physical shapes (single-window and segmented-scan) —
+    four variants, two oracles."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pr = ev.where(F.expr(_PROBE_FILTER))
+    st = ev.where(F.expr(_STATE_FILTER))
+    sel = ["user_id", "event_id", "ts", "asof_value", "asof_ts"]
     return _variant_union(
         [
             ("ttl", q_asof_join_ttl(spark, sf_dir)),
             ("strict", q_asof_join_strict(spark, sf_dir)),
+            (
+                "ttl_bucketed",
+                asof.asof_join_bucketed(
+                    pr, st, 21600.0, max_staleness_seconds=21600.0
+                ).select(*sel),
+            ),
+            (
+                "strict_bucketed",
+                asof.asof_join_bucketed(pr, st, 21600.0, strict=True).select(
+                    *sel
+                ),
+            ),
         ]
     )
 
@@ -1621,6 +1639,8 @@ def oracle_sql() -> dict[str, str]:
             [
                 ("ttl", leaf["asof_join_ttl"]),
                 ("strict", leaf["asof_join_strict"]),
+                ("ttl_bucketed", leaf["asof_join_ttl"]),
+                ("strict_bucketed", leaf["asof_join_strict"]),
             ]
         ),
         "asof_multi": leaf["asof_multi"],

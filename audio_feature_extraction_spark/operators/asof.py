@@ -244,6 +244,8 @@ def asof_join_bucketed(
     ts_col: str = "ts",
     value_col: str = "value",
     seq_col: str = "event_id",
+    strict: bool = False,
+    max_staleness_seconds: float | None = None,
 ) -> DataFrame:
     """Skew-proof as-of join: segmented-scan formulation.
 
@@ -260,18 +262,26 @@ def asof_join_bucketed(
     3. probes take their local carry if present, else the previous
        bucket's boundary carry.
 
-    Exact same semantics as ``asof_join(strict=False)`` (tested), two
-    exchanges instead of one, but no partition exceeds one bucket of one
-    entity — the north-rule salting story for J5.
+    Exact same semantics as ``asof_join`` with the same options
+    (tested), two exchanges instead of one, but no partition exceeds one
+    bucket of one entity — the north-rule salting story for J5.
+
+    ``strict`` only changes equal-timestamp visibility, and equal
+    timestamps always share a bucket, so the boundary carry (whose
+    states are strictly earlier buckets, hence strictly earlier ts) is
+    unaffected — the flag flips just the local sort-tag order.
+    ``max_staleness_seconds`` applies after the local/boundary coalesce,
+    exactly like the single-window join.
     """
     bucket_us = int(bucket_seconds * 1_000_000)
     micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
 
+    state_tag, probe_tag = (0, 1) if not strict else (1, 0)
     vtype = states.schema[value_col].dataType
     st = states.select(
         F.col(entity),
         F.col(ts_col),
-        F.lit(0).alias("_tag"),
+        F.lit(state_tag).alias("_tag"),
         F.col(seq_col).alias("_seq"),
         F.when(
             F.col(value_col).isNotNull(),
@@ -280,15 +290,17 @@ def asof_join_bucketed(
                 F.col(ts_col).cast("timestamp").alias("t"),
             ),
         ).alias("_s"),
+        F.lit(None).cast("boolean").alias("_is_probe"),
     )
     pr = probes.select(
         F.col(entity),
         F.col(ts_col),
-        F.lit(1).alias("_tag"),
+        F.lit(probe_tag).alias("_tag"),
         F.col(seq_col).alias("_seq"),
         F.lit(None)
         .cast(f"struct<v:{vtype.simpleString()},t:timestamp>")
         .alias("_s"),
+        F.lit(True).alias("_is_probe"),
     )
     u = st.unionByName(pr).withColumn(
         "_bucket", (micros(ts_col) / bucket_us).cast("long")
@@ -312,7 +324,7 @@ def asof_join_bucketed(
     # per-bucket max — filter them before aggregating (ADVICE r01: a null
     # newest state used to null out the whole bucket's carry)
     bounds = (
-        u.where((F.col("_tag") == 0) & F.col("_s").isNotNull())
+        u.where(F.col("_is_probe").isNull() & F.col("_s").isNotNull())
         .groupBy(entity, "_bucket")
         .agg(F.max(F.struct(F.col(ts_col), F.col("_seq"), F.col("_s"))).alias("_m"))
         .select(
@@ -368,7 +380,7 @@ def asof_join_bucketed(
 
     # 3. combine: local carry wins, else boundary carry from prior buckets
     out = (
-        local.where(F.col("_tag") == 1)
+        local.where(F.col("_is_probe"))
         .join(F.broadcast(filled), [entity, "_bucket"], "left")
         .select(
             F.col(entity),
@@ -378,6 +390,15 @@ def asof_join_bucketed(
             F.coalesce("_lts", "_pts").alias("asof_ts"),
         )
     )
+    if max_staleness_seconds is not None:
+        ttl_us = int(max_staleness_seconds * 1_000_000)
+        fresh = (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ) <= F.lit(ttl_us)
+        out = out.withColumn(
+            "asof_value", F.when(fresh, F.col("asof_value"))
+        ).withColumn("asof_ts", F.when(fresh, F.col("asof_ts")))
     return out
 
 

@@ -189,3 +189,27 @@ def test_multi_null_states_transparent(spark):
     assert out[2].asof_click == 1.0
     assert out[2].asof_click_ts == T0 + dt.timedelta(minutes=1)
     assert out[5].asof_click is None and out[5].asof_click_ts is None
+
+
+@pytest.mark.parametrize("mode", ["strict", "ttl"])
+def test_bucketed_strict_and_ttl_match_plain(spark, mode):
+    """The segmented-scan variant honors strict/TTL exactly like the
+    single-window join (equal-ts states share a bucket, so only the
+    local sort-tag order changes; TTL applies after the coalesce)."""
+    ev = _events(spark, n_hot=80, n_cold=10)
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type") == "click")
+    kw = {"strict": True} if mode == "strict" else {
+        "max_staleness_seconds": 1800.0
+    }
+    plain = {
+        r.event_id: (r.asof_value, r.asof_ts)
+        for r in asof.asof_join(probes, states, **kw).collect()
+    }
+    buck = {
+        r.event_id: (r.asof_value, r.asof_ts)
+        for r in asof.asof_join_bucketed(
+            probes, states, 3600.0, **kw
+        ).collect()
+    }
+    assert buck == plain and len(plain) > 0
