@@ -135,3 +135,109 @@ def stream_pit_serve(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tag_pit_stream_multi(
+    events: DataFrame,
+    probe_filter: str,
+    source_filters: dict[str, str],
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Multi-source tagging: probes get tag 1; each source's states get
+    tag 0 with their source index in ``src`` (dict order)."""
+    src = F.lit(None).cast("int")
+    for i, (name, flt) in enumerate(source_filters.items()):
+        src = F.when(F.expr(flt), F.lit(i)).otherwise(src)
+    return events.select(
+        F.col(entity).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.when(F.expr(probe_filter), F.lit(1))
+        .when(src.isNotNull(), F.lit(0))
+        .alias("tag"),
+        src.alias("src"),
+        F.col(seq_col).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("tag").isNotNull())
+
+
+def stream_pit_serve_multi(
+    tagged: DataFrame,
+    sources: list[str],
+    max_staleness_seconds: float | None = None,
+) -> DataFrame:
+    """Online twin of ``asof_join_multi``: each probe is served the
+    latest non-null state from EVERY source, from one state row per
+    entity holding parallel per-source (value, ts, seq) arrays — still
+    the minimum state the problem allows. Same contract as
+    ``stream_pit_serve`` per source (null transparency, TTL,
+    out-of-order state rejection)."""
+    n_src = len(sources)
+    ttl_us = (
+        int(max_staleness_seconds * 1_000_000)
+        if max_staleness_seconds is not None
+        else None
+    )
+    out_schema = "user_id long, event_id long, ts timestamp, " + ", ".join(
+        f"asof_{s} double, asof_{s}_ts timestamp" for s in sources
+    )
+    state_schema = "vs array<double>, tss array<long>, seqs array<long>"
+    cols = ["user_id", "event_id", "ts"]
+    for s in sources:
+        cols += [f"asof_{s}", f"asof_{s}_ts"]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vs, tss, seqs = (list(x) for x in state.get)
+        else:
+            vs, tss, seqs = (
+                [None] * n_src,
+                [-1] * n_src,
+                [-1] * n_src,
+            )
+        out = []
+        any_state = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "tag", "event_id"])
+            for row in pdf.itertuples(index=False):
+                ts_us = row.ts.value // 1000
+                if row.tag == 0:
+                    i = int(row.src)
+                    if row.v is None or pd.isna(row.v):
+                        continue
+                    if tss[i] >= 0 and (ts_us, row.event_id) < (tss[i], seqs[i]):
+                        continue
+                    vs[i], tss[i], seqs[i] = float(row.v), ts_us, int(row.event_id)
+                    any_state = True
+                else:
+                    rec = [key[0], int(row.event_id), row.ts]
+                    for i in range(n_src):
+                        v = vs[i] if tss[i] >= 0 else None
+                        t = tss[i] if tss[i] >= 0 else None
+                        if v is not None and ttl_us is not None and (
+                            ts_us - tss[i] > ttl_us
+                        ):
+                            v, t = None, None
+                        rec += [
+                            v,
+                            pd.Timestamp(t * 1000, unit="ns")
+                            if t is not None
+                            else pd.NaT,
+                        ]
+                    out.append(tuple(rec))
+        if any_state or state.exists:
+            state.update((vs, tss, seqs))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -766,3 +766,132 @@ def test_stream_pit_serve_matches_batch_asof(spark, tmp_path):
     assert got[2][0] is None                 # probe before any state
     assert got[6][0] == 7.0                  # state carried across triggers
     assert got[8][0] is None                 # TTL expired
+
+
+def test_flac_left_side_and_right_side_stereo():
+    """Hand-built left/side and right/side frames reconstruct L/R
+    exactly (side channel carries bps+1 bits)."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal import flac as fl
+
+    left = np.array([1000, -2000, 3000, -4000], np.int64)
+    right = np.array([900, -1800, 2700, -3600], np.int64)
+    n = len(left)
+
+    def build(chan_code, ch0, ch0_bits, ch1, ch1_bits):
+        head = fl._BitWriter()
+        head.write(int.from_bytes(b"fLaC", "big"), 32)
+        head.write(0x80, 8); head.write(34, 24)
+        head.write(n, 16); head.write(n, 16)
+        head.write(0, 24); head.write(0, 24)
+        head.write(8000, 20)
+        head.write(1, 3)
+        head.write(15, 5)
+        head.write(n, 36)
+        for _ in range(16):
+            head.write(0, 8)
+        w = fl._BitWriter()
+        w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
+        w.write(7, 4); w.write(0, 4)
+        w.write(chan_code, 4)
+        w.write(4, 3); w.write(0, 1)
+        w.write(0, 8)
+        w.write(n - 1, 16)
+        w.align()
+        w.write(fl._crc8(bytes(w.buf)), 8)
+        for vals, bits in ((ch0, ch0_bits), (ch1, ch1_bits)):
+            w.write(0, 1); w.write(1, 6); w.write(0, 1)
+            for v in vals:
+                w.write(int(v), bits)
+        w.align()
+        w.write(fl._crc16(bytes(w.buf)), 16)
+        return head.bytes() + w.bytes()
+
+    expect = (left + right) / 2.0 / 32768.0
+    side = left - right
+    # chan 8 = left/side: channels are (left @16, side @17)
+    sig, _ = fl.decode_flac(build(8, left, 16, side, 17))
+    assert np.array_equal(sig, expect)
+    # chan 9 = right/side: channels are (side @17, right @16)
+    sig, _ = fl.decode_flac(build(9, side, 17, right, 16))
+    assert np.array_equal(sig, expect)
+
+
+def test_stream_pit_serve_multi_matches_batch(spark, tmp_path):
+    """Multi-source online serving == batch asof_join_multi over an
+    in-order two-trigger replay."""
+    import datetime as dt
+
+    from audio_feature_extraction_spark.operators import asof
+    from audio_feature_extraction_spark.streaming import pit
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, minutes, user, etype, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, value)
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double")
+    batch1 = [
+        ev(0, 0, 1, "click", 1.0),
+        ev(1, 2, 1, "purchase", 5.0),
+        ev(2, 5, 1, "view", None),
+        ev(3, 6, 2, "view", None),
+    ]
+    batch2 = [
+        ev(4, 10, 1, "click", 2.0),
+        ev(5, 11, 1, "view", None),
+        ev(6, 12, 2, "purchase", 9.0),
+        ev(7, 13, 2, "view", None),
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    tagged = pit.tag_pit_stream_multi(
+        events,
+        "event_type = 'view'",
+        {"click": "event_type = 'click'", "purchase": "event_type = 'purchase'"},
+    )
+    served = pit.stream_pit_serve_multi(tagged, ["click", "purchase"])
+    q = (
+        served.writeStream.format("memory")
+        .queryName("pit_multi_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+        got = {
+            r.event_id: (r.asof_click, r.asof_click_ts,
+                         r.asof_purchase, r.asof_purchase_ts)
+            for r in spark.sql("select * from pit_multi_out").collect()
+        }
+    finally:
+        q.stop()
+
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        r.event_id: (r.asof_click, r.asof_click_ts,
+                     r.asof_purchase, r.asof_purchase_ts)
+        for r in asof.asof_join_multi(
+            all_events.where("event_type = 'view'"),
+            {
+                "click": all_events.where("event_type = 'click'"),
+                "purchase": all_events.where("event_type = 'purchase'"),
+            },
+        ).collect()
+    }
+    assert got == expect and len(got) == 4
+    assert got[5][0] == 2.0 and got[5][2] == 5.0  # state crossed triggers
+    assert got[3] == (None, None, None, None)
