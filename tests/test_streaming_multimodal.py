@@ -895,3 +895,44 @@ def test_stream_pit_serve_multi_matches_batch(spark, tmp_path):
     assert got == expect and len(got) == 4
     assert got[5][0] == 2.0 and got[5][2] == 5.0  # state crossed triggers
     assert got[3] == (None, None, None, None)
+
+
+def test_flac_wasted_bits_and_many_frames():
+    """Wasted-bits subframes shift back correctly, and the UTF-8 frame
+    number survives past 127 frames (2-byte encoding)."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal import flac as fl
+
+    # --- wasted bits: hand-build one frame whose samples are all even;
+    # store them >>1 with wasted=1 and expect exact reconstruction
+    vals = np.array([2, -4, 6, -8, 10, -12], np.int64)
+    n = len(vals)
+    head = fl._BitWriter()
+    head.write(int.from_bytes(b"fLaC", "big"), 32)
+    head.write(0x80, 8); head.write(34, 24)
+    head.write(n, 16); head.write(n, 16)
+    head.write(0, 24); head.write(0, 24)
+    head.write(8000, 20); head.write(0, 3); head.write(15, 5)
+    head.write(n, 36)
+    for _ in range(16):
+        head.write(0, 8)
+    w = fl._BitWriter()
+    w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
+    w.write(7, 4); w.write(0, 4); w.write(0, 4); w.write(4, 3); w.write(0, 1)
+    w.write(0, 8); w.write(n - 1, 16)
+    w.align(); w.write(fl._crc8(bytes(w.buf)), 8)
+    w.write(0, 1)          # subframe padding
+    w.write(1, 6)          # VERBATIM
+    w.write(1, 1)          # wasted-bits flag
+    w.write(1, 1)          # unary 0 -> wasted = 1
+    for v in vals >> 1:    # stored at bps - wasted = 15 bits
+        w.write(int(v), 15)
+    w.align(); w.write(fl._crc16(bytes(w.buf)), 16)
+    sig, _ = fl.decode_flac(head.bytes() + w.bytes())
+    assert np.array_equal(np.round(sig * 32768).astype(np.int64), vals)
+
+    # --- >127 frames: frame numbers need the 2-byte UTF-8 form
+    x = np.arange(140 * 8, dtype=np.int64) % 1000
+    sig, _ = fl.decode_flac(fl.encode_flac(x, 8000, block_size=8))
+    assert np.array_equal(np.round(sig * 32768).astype(np.int64), x)
