@@ -414,6 +414,8 @@ def asof_join_auto(
     probe_fraction: float = 0.01,
     probe_seed: int = 42,
     probe_min_rows: int = 20_000,
+    strict: bool = False,
+    max_staleness_seconds: float | None = None,
 ) -> DataFrame:
     """Pick the plain single-window as-of or the segmented-scan variant
     from the measured key histogram: if the hottest entity holds more
@@ -447,9 +449,14 @@ def asof_join_auto(
         int(agg.mx), int(agg.total), n_part, skew_factor
     ):
         return asof_join_bucketed(
-            probes, states, bucket_seconds, entity, ts_col, value_col, seq_col
+            probes, states, bucket_seconds, entity, ts_col, value_col,
+            seq_col, strict=strict,
+            max_staleness_seconds=max_staleness_seconds,
         )
-    return asof_join(probes, states, entity, ts_col, value_col, seq_col)
+    return asof_join(
+        probes, states, entity, ts_col, value_col, seq_col,
+        strict=strict, max_staleness_seconds=max_staleness_seconds,
+    )
 
 
 def choose_bucketed(
