@@ -373,6 +373,7 @@ def encode_flac(
     subframe: str = "verbatim",
     block_size: int = 4096,
     rice_param: int | None = 6,
+    partition_order: int = 0,
 ) -> bytes:
     """Minimal valid FLAC stream from a mono int16 signal.
 
@@ -461,15 +462,25 @@ def encode_flac(
                 for i in range(order, n)
             ]
             w.write(0, 2)  # rice method 0 (4-bit params)
-            w.write(0, 4)  # partition order 0 -> one partition
-            if rice_param is None:  # escaped raw partition
-                w.write(0xF, 4)
-                w.write(18, 5)
-                for v in res:
-                    w.write(v, 18)
-            else:
-                w.write(rice_param, 4)
-                _rice_encode(w, res, rice_param)
+            # partition_order > 0 splits the residual into 2^order rice
+            # partitions (first one short by the predictor order) —
+            # exercises the decoder's multi-partition layout; requires
+            # n divisible by 2^order (full blocks only)
+            po = partition_order if n % (1 << partition_order) == 0 else 0
+            w.write(po, 4)
+            idx = 0
+            for p in range(1 << po):
+                cnt = (n >> po) - (order if p == 0 else 0)
+                part = res[idx : idx + cnt]
+                idx += cnt
+                if rice_param is None:  # escaped raw partition
+                    w.write(0xF, 4)
+                    w.write(18, 5)
+                    for v in part:
+                        w.write(v, 18)
+                else:
+                    w.write(rice_param, 4)
+                    _rice_encode(w, part, rice_param)
         elif subframe_blk == "lpc1":
             if n <= 1:
                 raise ValueError("block too short for LPC")

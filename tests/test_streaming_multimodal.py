@@ -936,3 +936,25 @@ def test_flac_wasted_bits_and_many_frames():
     x = np.arange(140 * 8, dtype=np.int64) % 1000
     sig, _ = fl.decode_flac(fl.encode_flac(x, 8000, block_size=8))
     assert np.array_equal(np.round(sig * 32768).astype(np.int64), x)
+
+
+def test_flac_multi_partition_residuals():
+    """partition_order > 0: 2^order rice partitions per block (the first
+    short by the predictor order) decode exactly — mixed rice and
+    escaped layouts."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = np.round(2000 * np.sin(np.arange(2048) / 20.0)).astype(np.int64)
+    for rp, po in [(5, 2), (None, 3), (6, 4)]:
+        payload = encode_flac(
+            x, 16000, subframe="fixed2", rice_param=rp,
+            block_size=512, partition_order=po,
+        )
+        sig, sr = decode_flac(payload)
+        assert sr == 16000
+        assert np.array_equal(np.round(sig * 32768).astype(np.int64), x), (rp, po)
