@@ -186,7 +186,12 @@ def cmd_pit(args) -> int:
     ev = spark.read.parquet(f"{args.input}/events.parquet")
     probes = ev.where(F.col("event_type") == "view")
     states = ev.where(F.col("event_type") != "view")
-    out = asof.asof_join_auto(probes, states)
+    out = asof.asof_join_auto(
+        probes,
+        states,
+        strict=args.strict,
+        max_staleness_seconds=args.max_staleness,
+    )
     out.write.mode("overwrite").parquet(args.output)
     served = out.where(F.col("asof_value").isNotNull()).count()
     total = out.count()
@@ -315,6 +320,11 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("pit", help="point-in-time feature serving over events")
     common(sp)
+    sp.add_argument("--strict", action="store_true",
+                    help="strictly-before boundary (a state AT the probe "
+                    "timestamp is invisible)")
+    sp.add_argument("--max-staleness", type=float, default=None,
+                    help="staleness TTL in seconds (stale serves -> null)")
     sp.set_defaults(fn=cmd_pit)
 
     sp = sub.add_parser("dedup", help="MinHash-LSH near-dup pairs + Jaccard")
