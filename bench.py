@@ -281,6 +281,16 @@ def run_streaming_latency(
         finally:
             q.stop()
             spark.streams.removeListener(listener)
+        if not listener.stats:
+            # listener dispatch never delivered within the poll window
+            # (slow box) — report a timeout marker instead of crashing
+            # the whole bench run (ADVICE r03)
+            return {
+                "batches": 0,
+                "chunks": n_chunks,
+                "timeout": True,
+                "chunk_budget_ms": 100.0,
+            }
         stats = max(listener.stats.values(), key=lambda s: s.total)
         samples = sorted(stats.samples)
         p50 = samples[len(samples) // 2] if samples else 0.0

@@ -216,6 +216,38 @@ def test_snapshot_commit_race_loser_retries(spark, tmp_path):
         sn.read_snapshot(spark, t, version=1)
 
 
+def test_snapshot_pointer_swap_is_cas(spark, tmp_path):
+    """ADVICE r03: writer A creates manifest v1 then stalls before the
+    pointer swap; writer B skips v1 as in-flight and commits v2 (parent
+    v0). A's later swap must NOT roll the table back to v1 — the swap is
+    a compare-and-swap on the parent, so A's commit fails cleanly and v1
+    stays an unreadable orphan."""
+    import json
+    import os
+
+    import pytest
+
+    from audio_feature_extraction_spark.sinks import snapshots as sn
+
+    t = str(tmp_path / "tbl")
+    sn.write_snapshot(spark.range(0, 3), t)  # v0
+    # writer A: manifest v1 created (parent v0), swap not yet executed
+    with open(os.path.join(t, "manifest-1.json"), "w") as f:
+        json.dump({"version": 1, "parent": 0, "op": "append",
+                   "data_dirs": ["data/s-aaaaaaaaaaaa"],
+                   "schema": "struct<id:bigint>"}, f)
+    # writer B: full commit — skips v1, lands v2 with parent v0
+    vb = sn.write_snapshot(spark.range(10, 12), t, mode="append")
+    assert vb == 2 and sn.current_version(t) == 2
+    # writer A wakes up and attempts its pointer swap (parent was v0)
+    assert sn._cas_pointer(t, expect_parent=0, version=1) is False
+    # B's commit survives; A's manifest is an orphan off the chain
+    assert sn.current_version(t) == 2
+    assert [m["version"] for m in sn.snapshot_history(t)] == [0, 2]
+    with pytest.raises(ValueError, match="not on the committed chain"):
+        sn.read_snapshot(spark, t, version=1)
+
+
 def test_snapshot_racing_writers_have_disjoint_staged_dirs(spark, tmp_path):
     """ADVICE r02: two writers that both read _current=N-1 used to stage
     into the SAME data/vN dir with overwrite — the manifest-race winner

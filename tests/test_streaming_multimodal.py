@@ -768,6 +768,65 @@ def test_stream_pit_serve_matches_batch_asof(spark, tmp_path):
     assert got[8][0] is None                 # TTL expired
 
 
+def test_stream_pit_late_probe_not_served_future_state(spark, tmp_path):
+    """ADVICE r03: a probe arriving in a LATER micro-batch than a
+    newer-timestamped state must be served null, not that future state —
+    serving it would be temporal leakage relative to the batch as-of
+    join this operator twins."""
+    import datetime as dt
+
+    from audio_feature_extraction_spark.streaming import pit
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, minutes, user, etype, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, value)
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double")
+    batch1 = [
+        ev(0, 0, 1, "click", 1.0),
+        ev(1, 20, 1, "click", 9.0),      # carried state ends at ts=20
+    ]
+    batch2 = [
+        ev(2, 5, 1, "view", None),       # LATE probe: ts=5 < carried ts=20
+        ev(3, 25, 1, "view", None),      # in-order probe -> 9.0
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    tagged = pit.tag_pit_stream(
+        events, "event_type = 'view'", "event_type = 'click'"
+    )
+    served = pit.stream_pit_serve(tagged, max_staleness_seconds=3600.0)
+    q = (
+        served.writeStream.format("memory")
+        .queryName("pit_late_probe")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+        got = {
+            r.event_id: (r.asof_value, r.asof_ts)
+            for r in spark.sql("select * from pit_late_probe").collect()
+        }
+    finally:
+        q.stop()
+    assert got[2] == (None, None)  # late probe: null, NOT the future 9.0
+    assert got[3] == (9.0, t0 + dt.timedelta(minutes=20))
+
+
 def test_flac_left_side_and_right_side_stereo():
     """Hand-built left/side and right/side frames reconstruct L/R
     exactly (side channel carries bps+1 bits)."""
