@@ -52,6 +52,10 @@ class CorpusConfig:
     # pair-drop (fixes under-merged chains a~b~c at the cost of an
     # iterative label-propagation pass over the confirmed-pair graph)
     exact_components: bool = False
+    # durable scratch dir for the component rounds (HDFS/S3 on a real
+    # cluster) — None keeps local-mode localCheckpoint; see
+    # connected_components for the executor-loss rationale
+    components_checkpoint_dir: str | None = None
     # per-stage row counts in the report. Each count materializes the
     # chain-so-far, so accounting caches every stage (persist + count,
     # released once the next stage lands). accounting=False skips the
@@ -111,7 +115,8 @@ def prepare_corpus(
     )
     if cfg.exact_components:
         ts = dedup.dedup_survivors_by_component(
-            ts, confirmed.select("doc_a", "doc_b")
+            ts, confirmed.select("doc_a", "doc_b"),
+            checkpoint_dir=cfg.components_checkpoint_dir,
         )
     else:
         drop = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
