@@ -163,6 +163,7 @@ def cmd_prepare_corpus(args) -> int:
         default_rate=args.default_rate,
         block_len=args.block_len,
         jaccard_threshold=args.threshold,
+        resume_dir=args.resume_dir,
     )
     mixed, blocks, report = corpus.prepare_corpus(spark, args.input, cfg)
     mixed.write.mode("overwrite").parquet(f"{args.output}/corpus")
@@ -372,6 +373,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--block-len", type=int, default=4096)
     sp.add_argument("--threshold", type=float, default=0.7,
                     help="near-dup Jaccard confirm threshold")
+    sp.add_argument("--resume-dir", default=None,
+                    help="commit each stage as an atomic snapshot under "
+                    "this dir; a rerun skips committed stages (stage-"
+                    "level crash resume)")
     sp.set_defaults(fn=cmd_prepare_corpus)
 
     args = p.parse_args(argv)

@@ -28,6 +28,7 @@ are required.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,14 @@ class CorpusConfig:
     # once by the final write — the 100 TB production mode, where stage
     # counts come from the written manifest instead of extra passes.
     accounting: bool = True
+    # stage-level resume (VERDICT r03 #2): every stage's output is
+    # committed as one atomic snapshot under resume_dir/stage=<name>;
+    # a rerun skips stages whose snapshot is already committed and
+    # rebuilds the rest from the committed bytes of their inputs, so a
+    # resumed run's outputs are identical to an uninterrupted one. A
+    # crash mid-stage leaves only an invisible staged dir. None = the
+    # single-lazy-plan mode (no intermediate materialization).
+    resume_dir: str | None = None
 
 
 def prepare_corpus(
@@ -85,8 +94,29 @@ def prepare_corpus(
         tokseq = load_token_sequences(spark, sf_dir)
     report: dict = {}
     _prev: list[DataFrame] = []
+    resumed: list[str] = []
 
     def stage(df: DataFrame, name: str) -> DataFrame:
+        if cfg.resume_dir is not None:
+            # stage-level resume: one atomic snapshot per stage. The df
+            # argument is a lazy plan over the committed bytes of its
+            # inputs — skipped entirely (never executed) when this
+            # stage's snapshot already committed, so a resumed run
+            # recomputes only the missing suffix and lands on the same
+            # bytes an uninterrupted run produces.
+            from audio_feature_extraction_spark.sinks import snapshots as sn
+
+            table = os.path.join(cfg.resume_dir, f"stage={name}")
+            if sn.current_version(table) is None:
+                sn.write_snapshot(
+                    df, table, mode="overwrite", properties={"stage": name}
+                )
+            else:
+                resumed.append(name)
+            df = sn.read_snapshot(spark, table)
+            if cfg.accounting:
+                report[name] = df.count()
+            return df
         if not cfg.accounting:
             return df
         df = df.persist()
@@ -158,6 +188,9 @@ def prepare_corpus(
         "doc_id", F.concat_ws("#e", "doc_id", F.col("epoch").cast("string"))
     )
     blocks = mixing.pack_blocks(packable, cfg.block_len)
+    if cfg.resume_dir is not None:
+        blocks = stage(blocks, "packed")
+        report["resumed_stages"] = resumed
     if cfg.accounting:
         report["packed_slices"] = blocks.count()
         report["n_blocks"] = (

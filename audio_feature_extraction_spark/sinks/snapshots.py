@@ -117,7 +117,12 @@ def _cas_pointer(table_dir: str, expect_parent: int | None, version: int) -> boo
 
 
 def write_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "append", max_retries: int = 10
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    max_retries: int = 10,
+    properties: dict | None = None,
+    properties_fn=None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the committed version.
 
@@ -135,7 +140,14 @@ def write_snapshot(
     The commit point is a CAS: the ``_current`` pointer only advances to
     a manifest whose ``parent`` IS the pointer being replaced, so the
     committed chain is always linear — a returned version is always on
-    it, never silently orphaned by a concurrent committer (ADVICE r03)."""
+    it, never silently orphaned by a concurrent committer (ADVICE r03).
+
+    ``properties`` (a small JSON-able dict) is recorded verbatim in the
+    manifest — the Iceberg snapshot-summary analog. ``properties_fn``
+    receives a DataFrame over the freshly STAGED files (before the
+    metadata commit) and returns more properties; use it for summaries
+    that must describe exactly what this snapshot adds (e.g. the set of
+    completed work units) without a second pass over the logical plan."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
@@ -143,7 +155,11 @@ def write_snapshot(
     # stage data ONCE into a nonce dir — unreferenced (invisible) until a
     # manifest commits, and impossible for a concurrent writer to target
     stage_rel = f"data/s-{uuid.uuid4().hex[:12]}"
-    df.write.parquet(os.path.join(table_dir, "data", stage_rel.split("/", 1)[1]))
+    staged_abs = os.path.join(table_dir, "data", stage_rel.split("/", 1)[1])
+    df.write.parquet(staged_abs)
+    props = dict(properties or {})
+    if properties_fn is not None:
+        props.update(properties_fn(df.sparkSession.read.parquet(staged_abs)))
 
     for _ in range(max_retries):
         cur = current_version(table_dir)
@@ -162,6 +178,7 @@ def write_snapshot(
             "op": mode,
             "data_dirs": dirs,
             "schema": df.schema.simpleString(),
+            "properties": props,
         }
         try:
             # O_EXCL create = the commit lock: exactly one writer can own
@@ -203,6 +220,20 @@ def read_snapshot(
     m = _load_manifest(table_dir, version)
     paths = [os.path.join(table_dir, d) for d in m["data_dirs"]]
     return spark.read.parquet(*paths)
+
+
+def snapshot_properties(table_dir: str, version: int | None = None) -> dict:
+    """The properties dict a committed snapshot's manifest carries
+    (empty for pre-properties manifests). Metadata-only read."""
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    elif version not in _committed_chain(table_dir):
+        raise ValueError(
+            f"version {version} is not on the committed chain of {table_dir}"
+        )
+    return _load_manifest(table_dir, version).get("properties", {})
 
 
 def snapshot_history(table_dir: str) -> list[dict]:

@@ -353,6 +353,55 @@ def test_expire_keeps_shared_dirs(spark, tmp_path):
     assert sn.read_snapshot(spark, t).count() == 5
 
 
+def test_snapshot_pipeline_resume_is_manifest_metadata(spark, tmp_path):
+    """VERDICT r03 #2: completed units derive from the committed
+    snapshot MANIFEST (its properties record each commit's unit set), so
+    resume is a metadata-only read and cannot drift from the commit
+    point — and the resumed run reprocesses ZERO completed units,
+    proven by a per-run marker column."""
+    import os
+
+    from audio_feature_extraction_spark.plans import lineage
+    from audio_feature_extraction_spark.sinks import snapshots as sn
+
+    df = spark.range(0, 160).withColumnRenamed("id", "k")
+    base = str(tmp_path / "p")
+    p = lineage.SnapshotPipeline(spark, base, "run", n_units=8)
+
+    def fn_first(d):
+        return d.withColumn("v", F.col("k") * 2).withColumn(
+            "marker", F.lit("first")
+        )
+
+    def fn_resume(d):
+        return d.withColumn("v", F.col("k") * 2).withColumn(
+            "marker", F.lit("resume")
+        )
+
+    p.run_stage(df, "extracted", "k", fn_first, fail_units={0, 1})
+    table = os.path.join(base, "stage=extracted")
+    props0 = sn.snapshot_properties(table)
+    done0 = {r.unit for r in p.completed_units("extracted").collect()}
+    assert set(props0["units"]) == done0 == {2, 3, 4, 5, 6, 7}
+    assert props0["stage"] == "extracted" and props0["run_id"] == "run"
+
+    p.run_stage(df, "extracted", "k", fn_resume)
+    # the resume snapshot's own manifest records exactly the backfill
+    assert set(sn.snapshot_properties(table)["units"]) == {0, 1}
+    # zero reprocessing: every first-run unit kept its first-run rows
+    markers = {
+        r.unit: r.m
+        for r in p.stage_output("extracted")
+        .groupBy("unit")
+        .agg(F.collect_set("marker").alias("ms"))
+        .select("unit", F.array_join(F.array_sort("ms"), ",").alias("m"))
+        .collect()
+    }
+    assert all(m in ("first", "resume") for m in markers.values())
+    assert {u for u, m in markers.items() if m == "resume"} == {0, 1}
+    assert p.stage_output("extracted").count() == 160
+
+
 def test_snapshot_pipeline_resume_no_duplicates(spark, tmp_path):
     """The crash window CheckpointedPipeline has (data written, manifest
     not) cannot duplicate under SnapshotPipeline: an uncommitted staged

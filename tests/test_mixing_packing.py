@@ -163,3 +163,66 @@ def test_prepare_corpus_pipeline(spark):
     total_tokens = mixed.agg(F.sum("n_tok")).collect()[0][0]
     slice_tokens = blocks.agg(F.sum("slice_len")).collect()[0][0]
     assert slice_tokens == total_tokens
+
+
+def test_prepare_corpus_kill_and_resume(spark, tmp_path):
+    """VERDICT r03 #2 (integration): SIGKILL the pipeline driver after
+    the third stage snapshot commits, rerun against the same resume dir,
+    and the resumed run (a) skips exactly the committed stages and
+    (b) produces output identical to an uninterrupted single-lazy-plan
+    run. Real subprocesses — nothing survives the kill except what the
+    snapshot layer committed."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "corpus_crash_run.py")
+    sf = "/root/testdata/sf0.001"
+    resume = str(tmp_path / "resume")
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(script))}
+
+    r1 = subprocess.run(
+        [sys.executable, script, sf, resume, str(tmp_path / "out_dead"),
+         "--crash-after", "3"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r1.returncode == -9, r1.stderr[-2000:]  # actually SIGKILLed
+    committed = sorted(
+        d for d in os.listdir(resume) if d.startswith("stage=")
+    )
+    assert committed == [
+        "stage=after_exact_dedup", "stage=after_near_dedup",
+        "stage=after_quality",
+    ]
+
+    r2 = subprocess.run(
+        [sys.executable, script, sf, resume, str(tmp_path / "out_resumed")],
+        capture_output=True, text=True, env=env, timeout=600, check=True,
+    )
+    rep = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep["resumed_stages"] == [
+        "after_exact_dedup", "after_near_dedup", "after_quality"
+    ]
+
+    r3 = subprocess.run(
+        [sys.executable, script, sf, str(tmp_path / "unused"),
+         str(tmp_path / "out_plain"), "--no-resume"],
+        capture_output=True, text=True, env=env, timeout=600, check=True,
+    )
+    json.loads(r3.stdout.strip().splitlines()[-1])
+
+    def rows(d):
+        corpus_rows = sorted(
+            (r.doc_id, r.source, r.epoch, tuple(r.tokens))
+            for r in spark.read.parquet(f"{tmp_path}/{d}/corpus").collect()
+        )
+        block_rows = sorted(
+            tuple(r) for r in spark.read.parquet(f"{tmp_path}/{d}/blocks")
+            .select("source", "block_id", "doc_id", "doc_offset",
+                    "block_offset", "slice_len")
+            .collect()
+        )
+        return corpus_rows, block_rows
+
+    assert rows("out_resumed") == rows("out_plain")
