@@ -118,3 +118,108 @@ def test_flac_roundtrip_property(sig, mode, block):
     back = np.round(out * 32768).astype(np.int64)
     assert sr == 16000
     assert np.array_equal(back, x)
+
+
+# ---------------------------------------------------------------------------
+# as-of join family: window variant == bucketed variant == DuckDB ASOF JOIN
+# on randomized event streams, across all strict x TTL mode combinations
+# (VERDICT r03 #4 — the variants' equivalence is the load-bearing claim)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+_T0 = _dt.datetime(2026, 1, 1)
+
+
+@st.composite
+def _asof_scenarios(draw):
+    """Random event stream with the hostile shapes: null-valued states,
+    duplicate timestamps (state/state and state/probe), hot entities,
+    probes before any state, plus the strict/TTL toggles and a bucket
+    width that forces multi-bucket carries."""
+    n_entities = draw(st.integers(1, 3))
+    hot = draw(st.integers(0, n_entities - 1))
+    entity_pool = [hot, hot] + list(range(n_entities))  # bias to hot
+    n = draw(st.integers(1, 22))
+    events = []
+    for seq in range(n):
+        e = draw(st.sampled_from(entity_pool))
+        ts = draw(st.integers(0, 48))  # dense -> duplicate timestamps
+        is_probe = draw(st.booleans())
+        if is_probe or draw(st.integers(0, 3)) == 0:
+            v = None  # probes carry no value; 1/4 of states are null
+        else:
+            v = float(draw(st.integers(-5, 5)))
+        events.append((e, ts, is_probe, v, seq))
+    strict = draw(st.booleans())
+    ttl = draw(st.sampled_from([None, 7.0, 1000.0]))
+    bucket = draw(st.sampled_from([7.0, 16.0, 1000.0]))
+    return events, strict, ttl, bucket
+
+
+@settings(max_examples=30, deadline=None)
+@given(scenario=_asof_scenarios())
+def test_asof_window_bucketed_duckdb_equivalence(spark, scenario):
+    import duckdb
+    import pandas as pd
+
+    from audio_feature_extraction_spark.operators import asof
+
+    events, strict, ttl, bucket = scenario
+    rows = [
+        (e, _T0 + _dt.timedelta(seconds=ts), is_probe, v, seq)
+        for (e, ts, is_probe, v, seq) in events
+    ]
+    schema = ("user_id long, ts timestamp, is_probe boolean, "
+              "value double, event_id long")
+    df = spark.createDataFrame(rows, schema)
+    probes = df.where("is_probe").select("user_id", "ts", "event_id")
+    states = df.where("not is_probe").select(
+        "user_id", "ts", "value", "event_id"
+    )
+
+    def collect(out):
+        return {
+            r.event_id: (r.asof_value, r.asof_ts) for r in out.collect()
+        }
+
+    win = collect(
+        asof.asof_join(probes, states, strict=strict,
+                       max_staleness_seconds=ttl)
+    )
+    buck = collect(
+        asof.asof_join_bucketed(probes, states, bucket, strict=strict,
+                                max_staleness_seconds=ttl)
+    )
+
+    # DuckDB native ASOF oracle (strict -> '>' ordering condition);
+    # engine-side extras applied the same way the engine defines them:
+    # null states dropped (transparency), max-seq tie-break at equal ts,
+    # TTL nulling post-join
+    con = duckdb.connect()
+    con.register("pr_raw", pd.DataFrame(
+        [(r[0], r[1], r[4]) for r in rows if r[2]],
+        columns=["e", "ts", "seq"],
+    ))
+    con.register("st_raw", pd.DataFrame(
+        [(r[0], r[1], r[3], r[4]) for r in rows if not r[2]],
+        columns=["e", "ts", "v", "seq"],
+    ))
+    op = ">" if strict else ">="
+    duck = {}
+    for e, seq, ts, av, ats in con.execute(
+        f"WITH st AS (SELECT e, ts, v, seq, row_number() OVER "
+        f"(PARTITION BY e, ts ORDER BY seq DESC) rn FROM st_raw "
+        f"WHERE v IS NOT NULL), "
+        f"std AS (SELECT e, ts, v FROM st WHERE rn = 1) "
+        f"SELECT pr_raw.e, pr_raw.seq, pr_raw.ts, std.v, std.ts "
+        f"FROM pr_raw ASOF LEFT JOIN std "
+        f"ON pr_raw.e = std.e AND pr_raw.ts {op} std.ts"
+    ).fetchall():
+        if av is not None and ttl is not None and (
+            (ts - ats).total_seconds() > ttl
+        ):
+            av, ats = None, None
+        duck[seq] = (av, ats)
+
+    assert win == buck == duck
