@@ -759,6 +759,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.where(F.expr(_ANN_QUERY_FILTER)), k=5)
 
 
+def q_ann_lsh_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage funnel: collision-count proxy prune -> kernelized
+    exact-cosine re-rank of the top-C survivors (VERDICT r03 #7)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_rerank_topk(
+        emb, emb.where(F.expr(_ANN_QUERY_FILTER)), k=5
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse quantizer) — iterative, no SQL oracle:
     the driver records a rows-only check."""
@@ -1004,6 +1013,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("brute", q_ann_brute(spark, sf_dir)),
             ("lsh", q_ann_lsh(spark, sf_dir)),
+            ("lsh_rerank", q_ann_lsh_rerank(spark, sf_dir)),
             ("ivf_pivots", q_ann_ivf_pivots(spark, sf_dir)),
         ]
     )
@@ -1445,6 +1455,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_brute": similarity.brute_force_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
         "ann_lsh": similarity.lsh_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
+        "ann_lsh_rerank": similarity.lsh_rerank_topk_oracle_sql(
+            _ANN_QUERY_FILTER, k=5
+        ),
         "ann_ivf_pivots": similarity.ivf_topk_pivots_oracle_sql(
             _ANN_QUERY_FILTER, k=5
         ),
@@ -1662,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
             [
                 ("brute", _proj_ann(leaf["ann_brute"])),
                 ("lsh", _proj_ann(leaf["ann_lsh"])),
+                ("lsh_rerank", _proj_ann(leaf["ann_lsh_rerank"])),
                 ("ivf_pivots", _proj_ann(leaf["ann_ivf_pivots"])),
             ]
         ),

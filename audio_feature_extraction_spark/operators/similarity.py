@@ -380,6 +380,269 @@ def lsh_topk_oracle_sql(
     )
 
 
+def quantized_vec_sql(
+    dim: int, spark: bool, vec: str = "embedding", levels: int = 127
+) -> str:
+    """int8-style scalar quantization of the L2-NORMALIZED vector:
+    ``q_i = floor(x_i / ||x|| * levels + 0.5)`` as a BIGINT array (all
+    zeros for a zero-norm vector). floor of an identical float64 is
+    engine-identical, so Spark, DuckDB and the numpy kernel agree bit
+    for bit; every downstream proxy dot is then exact integer work."""
+    if spark:
+        nrm = _norm_expr(vec, spark=True)
+        body = (
+            f"case when _n = cast(0.0 as double) then cast(0 as bigint) "
+            f"else cast(floor(cast(element_at({vec}, cast(i + 1 as int)) "
+            f"as double) / _n * {float(levels):.1f}E0 + 0.5E0) as bigint) end"
+        )
+        # bind the norm once via the single-element transform "let" trick
+        return (
+            f"element_at(transform(array({nrm}), _n -> "
+            f"transform(sequence(0, {dim - 1}), i -> {body})), 1)"
+        )
+    nrm = _norm_expr(vec, spark=False)
+    # outer columns are not visible inside DuckDB lambdas, so both the
+    # norm AND the vector itself are let-bound through the derived table
+    return (
+        f"(SELECT list_transform(range(0, {dim}), "
+        f"i -> CASE WHEN _lt._n = 0.0 "
+        f"THEN 0::BIGINT ELSE CAST(floor(CAST(_lt._v[i + 1] AS DOUBLE) / _lt._n "
+        f"* {float(levels):.1f} + 0.5) AS BIGINT) END) "
+        f"FROM (SELECT {vec} AS _v, {nrm} AS _n) _lt)"
+    )
+
+
+def quantize_kernel(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str | None = None,
+    out_col: str = "qv",
+    levels: int = 127,
+) -> DataFrame:
+    """Arrow-kernel twin of ``quantized_vec_sql`` — the norm is the same
+    sequential left fold the SQL ``aggregate()`` computes, so the floor
+    inputs (hence the integer codes) match exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    out_id = out_id or id_col
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M, valid = _stack_fixed(pdf[vec_col], dim)
+            pdf = pdf[valid].reset_index(drop=True)
+            M = M[valid]
+            if not len(pdf):
+                continue
+            nsq = np.zeros(len(pdf))
+            for i in range(dim):
+                nsq += M[:, i] * M[:, i]
+            n = np.sqrt(nsq)
+            safe = np.where(n == 0.0, 1.0, n)
+            Q = np.floor(M / safe[:, None] * float(levels) + 0.5).astype(
+                np.int64
+            )
+            Q[n == 0.0] = 0
+            out = pd.DataFrame({out_id: pdf[id_col]})
+            out[out_col] = pd.arrays.ArrowExtensionArray(
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(Q.reshape(-1), type=pa.int64()), dim
+                ).cast(pa.list_(pa.int64()))
+            )
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{out_id} {id_type}, {out_col} array<bigint>"
+    )
+
+
+def int_dot_scores_kernel(
+    df: DataFrame, a_col: str, b_col: str, dim: int, out_col: str = "qdot"
+) -> DataFrame:
+    """Exact integer dot of two quantized-code arrays (order-independent
+    — integer addition is associative, so any engine agrees). Drops the
+    two code columns and appends ``out_col``."""
+    import numpy as np
+    import pandas as pd
+
+    keep = [c for c in df.columns if c not in (a_col, b_col)]
+    keep_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[a_col]])
+            B = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[b_col]])
+            out = pdf[keep].copy()
+            out[out_col] = (A * B).sum(axis=1)
+            yield out
+
+    schema = ", ".join([f"{c} {keep_t[c]}" for c in keep] + [f"{out_col} bigint"])
+    return df.mapInPandas(run, schema=schema)
+
+
+def lsh_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates_per_query: int = 32,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_kernel: bool = True,
+    score_kernel: bool = True,
+) -> DataFrame:
+    """Three-stage retrieval funnel: LSH buckets -> quantized-dot proxy
+    prune to ``candidates_per_query`` -> exact-cosine re-rank
+    (VERDICT r03 #7).
+
+    Stage 1 (recall): candidates from (tbl, bucket) equi-joins across
+    ``n_tables`` tables — wide OR-amplified recall. Stage 2 (proxy):
+    each candidate pair is scored by the integer dot of int8-style
+    quantized codes of the NORMALIZED vectors (the ADC scoring of an
+    IVF-PQ-family index): exact integer work over 64 small ints, 8×
+    smaller to ship/hold than the float vectors, and a near-exact
+    cosine ranking (quantization error ~levels⁻¹); the top-C survivors
+    per query advance. Stage 3 (precision): exact cosine on survivors
+    only, kernelized (``cosine_scores_kernel``, the thin-candidate
+    regime where the Arrow kernel wins).
+
+    The 100 TB shape: recall (tables) is decoupled from exact-vector
+    compute (bounded by C per query), and the pruning stage runs off a
+    compact integer code table that fits in memory where the float
+    vectors do not. Ties are deterministic: (qdot DESC, id) for
+    pruning, (cosine DESC, id) for the final rank.
+    """
+    if use_kernel:
+        e = lsh_buckets_kernel(
+            emb, n_tables, n_planes, dim, id_col, vec_col
+        ).drop(vec_col)
+        q = lsh_buckets_kernel(
+            queries, n_tables, n_planes, dim, id_col, vec_col,
+            out_id="query_id",
+        ).drop(vec_col)
+        qv_e = quantize_kernel(emb, dim, id_col, vec_col)
+        qv_q = quantize_kernel(
+            queries, dim, id_col, vec_col, out_id="query_id", out_col="qqv"
+        )
+    else:
+        texpr = _tables_expr(n_tables, n_planes, dim, vec_col)
+        qexpr = quantized_vec_sql(dim, spark=True, vec=vec_col)
+        e = emb.select(F.col(id_col), F.expr(texpr))
+        q = queries.select(F.col(id_col).alias("query_id"), F.expr(texpr))
+        qv_e = emb.select(F.col(id_col), F.expr(qexpr).alias("qv"))
+        qv_q = queries.select(
+            F.col(id_col).alias("query_id"), F.expr(qexpr).alias("qqv")
+        )
+    cands = (
+        e.join(q, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    paired_codes = cands.join(qv_e, id_col).join(qv_q, "query_id")
+    if use_kernel:
+        prox = int_dot_scores_kernel(paired_codes, "qv", "qqv", dim)
+    else:
+        prox = paired_codes.select(
+            "query_id",
+            id_col,
+            F.expr(
+                "aggregate(zip_with(qv, qqv, (a, b) -> a * b), "
+                "cast(0 as bigint), (s, x) -> s + x)"
+            ).alias("qdot"),
+        )
+    prune_w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col(id_col)
+    )
+    survivors = (
+        prox.withColumn("_cr", F.row_number().over(prune_w))
+        .where(F.col("_cr") <= candidates_per_query)
+        .select("query_id", id_col)
+    )
+    paired = (
+        survivors.join(emb.select(id_col, vec_col), id_col)
+        .join(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+            ),
+            "query_id",
+        )
+        .withColumnRenamed(id_col, "neighbor_id")
+    )
+    if score_kernel:
+        scored = cosine_scores_kernel(paired, vec_col, "qvec", dim)
+    else:
+        scored = paired.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(cosine_expr(vec_col, "qvec", spark=True)).alias("cosine"),
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def lsh_rerank_topk_oracle_sql(
+    query_filter: str,
+    k: int = 5,
+    candidates_per_query: int = 32,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    from_clause: str = "embeddings",
+) -> str:
+    cos = cosine_expr("e.embedding", "q.embedding", spark=False)
+    qv = quantized_vec_sql(dim, spark=False)
+    qdot = (
+        f"list_sum(list_transform(range(0, {dim}), "
+        f"i -> se.qv[i + 1] * sq.qqv[i + 1]))"
+    )
+    etab = _tables_union_sql(n_tables, n_planes, dim, from_clause, "vec_id")
+    qtab = _tables_union_sql(
+        n_tables, n_planes, dim,
+        f"(SELECT * FROM {from_clause} WHERE {query_filter})",
+        "vec_id AS query_id",
+    )
+    return (
+        f"WITH eb AS ({etab}), qb AS ({qtab}), "
+        f"se AS (SELECT vec_id, {qv} AS qv FROM {from_clause}), "
+        f"sq AS (SELECT vec_id AS query_id, {qv} AS qqv "
+        f"FROM {from_clause} WHERE {query_filter}), "
+        f"cand AS (SELECT DISTINCT qb.query_id, eb.vec_id FROM eb "
+        f"JOIN qb ON eb.tbl = qb.tbl AND eb.bucket = qb.bucket "
+        f"AND eb.vec_id != qb.query_id), "
+        f"prox AS (SELECT c.query_id, c.vec_id, {qdot} AS qdot "
+        f"FROM cand c JOIN se ON c.vec_id = se.vec_id "
+        f"JOIN sq ON c.query_id = sq.query_id), "
+        f"surv AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, "
+        f"vec_id) AS cr FROM prox) _p WHERE cr <= {candidates_per_query}), "
+        f"scored AS (SELECT s.query_id, s.vec_id AS neighbor_id, {cos} AS cosine "
+        f"FROM surv s JOIN {from_clause} e ON s.vec_id = e.vec_id "
+        f"JOIN {from_clause} q ON s.query_id = q.vec_id), "
+        f"ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
+        f"SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -111,6 +111,47 @@ def test_ann_lsh_subset_of_bucket_and_reasonable_recall(spark):
     assert hits / max(len(top1_lsh), 1) > 0.3
 
 
+def test_ann_lsh_rerank_recall_beats_plain_lsh(spark):
+    """The funnel widens recall (8 tables) without widening exact
+    scoring (bounded at C per query): its top-1 recall vs brute force
+    must at least match plain 4-table lsh_topk on the same queries, and
+    every rank list must be exact-cosine-sorted."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 50)
+    brute = {
+        r.query_id: r.neighbor_id
+        for r in similarity.brute_force_topk(emb, q, k=1).collect()
+    }
+    lsh = {
+        r.query_id: r.neighbor_id
+        for r in similarity.lsh_topk(emb, q, k=1).collect()
+    }
+    rer = similarity.lsh_rerank_topk(emb, q, k=3).collect()
+    rer_top1 = {r.query_id: r.neighbor_id for r in rer if r.rank == 1}
+    recall = lambda d: sum(  # noqa: E731
+        1 for k_, v in d.items() if brute.get(k_) == v
+    ) / max(len(d), 1)
+    assert recall(rer_top1) >= recall(lsh)
+    assert recall(rer_top1) > 0.5
+    by_q: dict = {}
+    for r in rer:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for rows in by_q.values():
+        rows.sort()
+        assert [x[0] for x in rows] == list(range(1, len(rows) + 1))
+        assert all(a[1] >= b[1] for a, b in zip(rows, rows[1:]))
+
+
+def test_ann_lsh_rerank_prune_bound(spark):
+    """candidates_per_query truly bounds exact scoring: with C=2 and
+    k=5 no query can return more than 2 neighbors."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    out = similarity.lsh_rerank_topk(emb, q, k=5, candidates_per_query=2)
+    counts = out.groupBy("query_id").count().collect()
+    assert counts and all(r["count"] <= 2 for r in counts)
+
+
 def test_ann_ivf_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 30)
