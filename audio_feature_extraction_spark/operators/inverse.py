@@ -126,6 +126,135 @@ def iterative_refine(
     return current
 
 
+def lossy_frame_targets(
+    frames: DataFrame, bits: int = 3
+) -> DataFrame:
+    """Genuinely LOSSY per-frame features: the sorted multiset of
+    low-bit-truncated token values per frame (``(t >> bits) << bits``).
+
+    Dropping the low bits loses per-position detail and sorting loses
+    position order — only overlap consistency across frames constrains a
+    reconstruction, which is exactly the structure that makes real
+    Griffin-Lim iterative (magnitude kept, phase lost; design.md:684-744
+    analog). SQL-expressible: one narrow projection over the frame
+    table."""
+    return frames.select(
+        "doc_id",
+        "frame_id",
+        F.expr(
+            f"sort_array(transform(frame_tokens, "
+            f"t -> cast((cast(t as bigint) div {1 << bits}) * {1 << bits} "
+            f"as double)))"
+        ).alias("target"),
+    )
+
+
+def lossy_refine(
+    targets: DataFrame,
+    spec: FrameSpec = DEFAULT_FRAME,
+    bits: int = 3,
+    n_iter: int = 8,
+    momentum: float = 0.0,
+    emit: str = "errors",
+) -> DataFrame:
+    """Griffin-Lim over the lossy token-feature space (VERDICT r03 #5):
+    recover a signal consistent with every frame's quantized multiset by
+    alternating projections, with MEASURED convergence.
+
+    Per iteration (the two Griffin-Lim projections, reinterpreted):
+
+    1. feature enforcement — each frame's values are replaced by the
+       target multiset assigned in rank order (the minimal per-frame
+       move onto the feature-consistent set; ≙ magnitude replacement);
+    2. consistency — overlapping frames are overlap-add AVERAGED per
+       position (≙ ISTFT∘STFT projection onto realizable signals).
+
+    ``momentum`` adds the fast-GL extrapolation step
+    (x ← y + m·(y − y_prev)). The error metric is the L1 distance
+    between the estimate's quantized sorted frames and the targets,
+    measured BEFORE each enforcement — it decreases monotonically to a
+    nonzero fixed point (the quantization keeps the problem genuinely
+    lossy; tested against an independent numpy oracle).
+
+    Scale shape: signals are independent, so the whole n_iter loop runs
+    inside one Arrow kernel per doc — one shuffle (groupBy doc_id),
+    zero driver-side iteration, embarrassingly parallel. This is the
+    right Spark shape for per-entity iterative algorithms (contrast
+    ``connected_components``, whose iteration spans entities and must
+    loop driver-side).
+
+    ``emit='errors'`` -> (doc_id, iter, err) convergence table;
+    ``emit='estimate'`` -> (doc_id, est array<double>) final signals.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if emit not in ("errors", "estimate"):
+        raise ValueError(f"emit must be errors|estimate, got {emit!r}")
+    L, h = spec.frame_len, spec.hop
+    step = 1 << bits
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_id")
+        doc = pdf["doc_id"].iloc[0]
+        # the frame grid truncates tail frames, so targets are ragged —
+        # per-frame numpy with a python loop over the (few) frames of
+        # each doc; a uniform-grid doc could stack and fully vectorize
+        tg = [np.asarray(t, dtype=np.float64) for t in pdf["target"]]
+        starts = [i * h for i in range(len(tg))]
+        n = starts[-1] + len(tg[-1])
+        x = _overlap_average(tg, starts, n)  # init: targets as sorted
+        y_prev = None
+        errs = []
+        for _ in range(n_iter):
+            e = 0.0
+            newframes = []
+            for s, t in zip(starts, tg):
+                fr = x[s : s + len(t)]
+                q = np.sort(
+                    (np.floor(fr).astype(np.int64) // step * step).astype(
+                        np.float64
+                    )
+                )
+                e += float(np.abs(q - t).sum())
+                order = np.argsort(fr, kind="stable")
+                nf = np.empty_like(fr)
+                nf[order] = t
+                newframes.append(nf)
+            errs.append(e)
+            y = _overlap_average(newframes, starts, n)
+            if momentum and y_prev is not None:
+                x = y + momentum * (y - y_prev)
+            else:
+                x = y
+            y_prev = y
+        if emit == "errors":
+            return pd.DataFrame(
+                {"doc_id": doc, "iter": np.arange(n_iter), "err": errs}
+            )
+        return pd.DataFrame({"doc_id": [doc], "est": [x]})
+
+    schema = (
+        "doc_id string, iter int, err double"
+        if emit == "errors"
+        else "doc_id string, est array<double>"
+    )
+    return targets.groupBy("doc_id").applyInPandas(run, schema=schema)
+
+
+def _overlap_average(frames_list, starts, n):
+    """Overlap-add average: positions covered by several frames take the
+    mean of their contributions (the consistency projection)."""
+    import numpy as np
+
+    acc = np.zeros(n)
+    cnt = np.zeros(n)
+    for s, row in zip(starts, frames_list):
+        acc[s : s + len(row)] += row
+        cnt[s : s + len(row)] += 1
+    return acc / np.maximum(cnt, 1)
+
+
 def roundtrip_check(
     token_df: DataFrame, frames: DataFrame, spec: FrameSpec = DEFAULT_FRAME
 ) -> DataFrame:

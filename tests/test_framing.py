@@ -208,3 +208,96 @@ def test_centered_composes_with_weighted_and_descriptors(spark, edge_seqs):
     assert {(r.doc_id, r.frame_id) for r in w.collect()} == grid
     d = spectral.frame_descriptors(framing.frame_table(df, CSPEC), CSPEC)
     assert {(r.doc_id, r.frame_id) for r in d.collect()} == grid
+
+
+# ---------------------------------------------------------------------------
+# lossy-space iterative refinement (Griffin-Lim analog, VERDICT r03 #5)
+# ---------------------------------------------------------------------------
+
+def _gl_oracle(tokens, L, h, bits, n_iter, momentum=0.0):
+    """Independent per-doc reference: plain-python alternating
+    projections over the quantized-multiset feature space."""
+    step = 1 << bits
+    # truncated-tail grid (same as frame_table: a frame for every
+    # start < len, tail frames shorter)
+    starts = list(range(0, len(tokens), h))
+    tg = [sorted((int(t) // step) * step for t in tokens[s:s + L])
+          for s in starts]
+    n = len(tokens)
+
+    def overlap_avg(frames):
+        acc, cnt = [0.0] * n, [0] * n
+        for s, fr in zip(starts, frames):
+            for j, v in enumerate(fr):
+                acc[s + j] += v
+                cnt[s + j] += 1
+        return [a / max(c, 1) for a, c in zip(acc, cnt)]
+
+    x = overlap_avg([[float(v) for v in t] for t in tg])
+    errs, y_prev = [], None
+    for _ in range(n_iter):
+        e = 0.0
+        frames = [x[s:s + L] for s in starts]
+        for fr, t in zip(frames, tg):
+            q = sorted((int(v // 1) // step) * step for v in fr)
+            e += sum(abs(a - b) for a, b in zip(q, t))
+        errs.append(e)
+        newframes = []
+        for fr, t in zip(frames, tg):
+            order = sorted(range(len(fr)), key=lambda j: (fr[j], j))
+            nf = [0.0] * len(fr)
+            for rank, j in enumerate(order):
+                nf[j] = float(t[rank])
+            newframes.append(nf)
+        y = overlap_avg(newframes)
+        x = ([yi + momentum * (yi - pi) for yi, pi in zip(y, y_prev)]
+             if momentum and y_prev is not None else y)
+        y_prev = y
+    return errs, x
+
+
+def test_lossy_refine_monotone_convergence_vs_numpy_oracle(spark):
+    """Quantized-multiset GL: error decreases monotonically to a nonzero
+    fixed point, and Spark's kernel matches the independent oracle
+    per-iteration and on the final estimate."""
+    rng = np.random.default_rng(7)
+    docs = {f"doc_{i}": rng.integers(0, 1000, size=100).tolist()
+            for i in range(4)}
+    spec = FrameSpec(frame_len=16, hop=8)
+    ts = spark.createDataFrame(
+        [(d, t, len(t), "s") for d, t in docs.items()], TOKEN_SEQUENCES
+    )
+    frames = framing.frame_table(ts, spec)
+    targets = inverse.lossy_frame_targets(frames, bits=3)
+    conv = inverse.lossy_refine(targets, spec, bits=3, n_iter=8)
+    got = {}
+    for r in conv.collect():
+        got.setdefault(r.doc_id, {})[r.iter] = r.err
+    est = {r.doc_id: list(r.est)
+           for r in inverse.lossy_refine(
+               targets, spec, bits=3, n_iter=8, emit="estimate").collect()}
+    for d, toks in docs.items():
+        errs = [got[d][i] for i in range(8)]
+        # strictly lossy: starts imperfect, monotone non-increasing,
+        # genuinely iterative (first step improves), nonzero floor
+        assert errs[0] > 0
+        assert all(a >= b - 1e-9 for a, b in zip(errs, errs[1:]))
+        assert errs[1] < errs[0]
+        exp_errs, exp_x = _gl_oracle(toks, 16, 8, 3, 8)
+        np.testing.assert_allclose(errs, exp_errs, rtol=1e-12)
+        np.testing.assert_allclose(est[d], exp_x, rtol=1e-12)
+
+
+def test_lossy_refine_momentum_matches_oracle_and_converges(spark):
+    """Fast-GL momentum extrapolation: same oracle agreement; the final
+    error must not exceed the plain variant's first error."""
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, 512, size=80).tolist()
+    spec = FrameSpec(frame_len=16, hop=8)
+    ts = spark.createDataFrame([("d0", toks, len(toks), "s")], TOKEN_SEQUENCES)
+    targets = inverse.lossy_frame_targets(framing.frame_table(ts, spec))
+    conv = inverse.lossy_refine(targets, spec, n_iter=10, momentum=0.9)
+    errs = [r.err for r in conv.orderBy("iter").collect()]
+    exp_errs, _ = _gl_oracle(toks, 16, 8, 3, 10, momentum=0.9)
+    np.testing.assert_allclose(errs, exp_errs, rtol=1e-12)
+    assert errs[-1] < errs[0]
