@@ -16,10 +16,16 @@ verbatim / constant / fixed-order subframes with rice or escaped
 partitions) used by the round-trip tests — decode(encode(x)) == x
 bit-exactly for int16 signals.
 
-This is the correctness path: Python bit-unpacking decodes ~1 MB/s, fine
-for fixtures and spot checks. Bulk decode at 100 TB plugs a native codec
-into the same ``_decode_real`` seam; the Spark plumbing (Arrow batches,
-error rows, ``on_error='skip'``) is identical either way.
+Decode is numpy-vectorized (``_FastBits``: batched field gathers,
+windowed jump-table rice decoding, cumsum integration for the fixed
+predictors, table-driven CRCs — VERDICT r03 #6). Measured on this host
+(``scripts/flac_bench.py``, 400k-sample int16 stream): fixed2+rice
+3.0 MB/s PCM (15x the per-bit python reader's 0.2), verbatim 7.1 MB/s,
+LPC 1.4 MB/s (the exact integer LPC recurrence is inherently
+sequential). Still the correctness path: bulk decode at 100 TB plugs a
+native codec into the same ``_decode_real`` seam; the Spark plumbing
+(Arrow batches, error rows, ``on_error='skip'``) is identical either
+way.
 """
 
 from __future__ import annotations
@@ -93,21 +99,36 @@ class _BitReader:
             self.byte += 1
 
 
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    mask, top = (1 << width) - 1, 1 << (width - 1)
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    t = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
+    # byte-at-a-time table CRC — ~10x the bit-loop; frames CRC their
+    # whole byte span, so this is on the decode hot path
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -132,7 +153,138 @@ def _read_utf8_number(r: _BitReader) -> int:
     return val
 
 
-def _decode_residual(r: _BitReader, block_size: int, pred_order: int) -> list[int]:
+class _FastBits:
+    """Vectorized bit decoding over the whole stream (VERDICT r03 #6).
+
+    One ``np.unpackbits`` + one running popcount (``cumsum``) per
+    payload; from these, fixed-width fields are batched gathers and a
+    rice partition's unary terminators come from "position of the j-th
+    1-bit" queries (vectorized searchsorted over the popcount), never a
+    per-bit python loop. Per partition: materialize a WINDOW of 1-bit
+    positions sized to the partition (a rice(k) code consumes at most
+    ``k+1`` one-bits, so ``n*(k+1)+1`` bounds the span; the window
+    starts at the average case and grows on the rare miss), build the
+    "next terminator" jump table with one windowed searchsorted, walk
+    it as a python list (~60ns/code), then recover quotients and
+    remainder fields with batched numpy. Work is O(partition) per
+    partition plus one O(stream) cumsum — measured ~10× the pure-python
+    bit reader on rice-heavy streams, bit-exact (same tests).
+
+    (A global ``flatnonzero`` of all 1-bit positions would be simpler,
+    but measures ~70 ns/element on this host — slower than the whole
+    rest of the decode; the cumsum+searchsorted form avoids it.)
+    """
+
+    # per-byte tables: popcount, popcount of the first k MSB bits, and
+    # MSB-first position of the r-th 1-bit (255 = absent)
+    _POP = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1).astype(np.int64)
+    _PREFIX = np.cumsum(
+        np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1),
+        axis=1, dtype=np.int64,
+    )
+    _POS = np.full((256, 8), 255, dtype=np.int64)
+    for _v in range(256):
+        _r = 0
+        for _b in range(8):
+            if _v & (0x80 >> _b):
+                _POS[_v, _r] = _b
+                _r += 1
+    del _v, _r, _b
+
+    def __init__(self, data: bytes):
+        self.raw = np.frombuffer(data, dtype=np.uint8)
+        self.bits = np.unpackbits(self.raw)
+        # byte-granular popcount prefix (bit-granular cumsum over the
+        # whole stream measured 8x slower on this host for no benefit)
+        self.byte_pop = np.cumsum(self._POP[self.raw])
+        self.total_ones = int(self.byte_pop[-1]) if len(self.byte_pop) else 0
+
+    def _ones_before(self, bitpos: int) -> int:
+        byte, within = divmod(bitpos, 8)
+        n = int(self.byte_pop[byte - 1]) if byte > 0 else 0
+        if within:
+            n += int(self._PREFIX[int(self.raw[byte]), within - 1])
+        return n
+
+    def _nth_ones(self, j0: int, count: int) -> np.ndarray:
+        """Positions of the (j0+1)-th .. (j0+count)-th 1-bits."""
+        j = np.arange(j0 + 1, j0 + 1 + count, dtype=np.int64)
+        bidx = np.searchsorted(self.byte_pop, j)
+        before = np.where(bidx > 0, self.byte_pop[bidx - 1], 0)
+        rank = j - before  # 1..8 within the byte
+        return bidx * 8 + self._POS[self.raw[bidx], rank - 1]
+
+    def fields(self, bitpos: int, count: int, width: int):
+        """``count`` unsigned big-endian fields of ``width`` bits each;
+        returns (int64 array, new bitpos)."""
+        if count == 0 or width == 0:
+            return np.zeros(count, dtype=np.int64), bitpos
+        end = bitpos + count * width
+        if end > len(self.bits):
+            raise LoadError("truncated FLAC bitstream")
+        m = (
+            self.bits[bitpos:end]
+            .reshape(count, width)
+            .astype(np.int64)
+        )
+        pw = 1 << np.arange(width - 1, -1, -1, dtype=np.int64)
+        return m @ pw, end
+
+    def signed_fields(self, bitpos: int, count: int, width: int):
+        v, end = self.fields(bitpos, count, width)
+        if width:
+            v = v - ((v >= (1 << (width - 1))) * (1 << width))
+        return v, end
+
+    def rice(self, bitpos: int, n: int, k: int):
+        """n zigzag rice(k) codes from bitpos -> (int64 array, bitpos)."""
+        if n == 0:
+            return np.zeros(0, dtype=np.int64), bitpos
+        j0 = self._ones_before(bitpos)
+        avail = self.total_ones - j0
+        if avail <= 0:
+            raise LoadError("truncated FLAC bitstream")
+        step = 1 + k
+        bound = min(n * (k + 1) + 1, avail)
+        # expected ones per code = 1 terminator + ~k/2 remainder bits
+        window = min(bound, max(n + n * k // 2 + n // 2, 1024))
+        while True:
+            ones_w = self._nth_ones(j0, window)
+            jump = np.searchsorted(ones_w, ones_w + step).tolist()
+            idxs: list[int] = []
+            m = 0
+            for _ in range(n):
+                if m >= window:
+                    break
+                idxs.append(m)
+                m = jump[m]
+            if len(idxs) == n:
+                break
+            if window >= bound:
+                raise LoadError("truncated FLAC bitstream")
+            window = min(window * 4, bound)
+        t = ones_w[np.asarray(idxs, dtype=np.int64)]  # unary terminators
+        starts = np.empty(n, dtype=np.int64)
+        starts[0] = bitpos
+        starts[1:] = t[:-1] + 1 + k
+        q = t - starts
+        if k:
+            idx = t[:, None] + 1 + np.arange(k, dtype=np.int64)
+            if int(idx[-1, -1]) >= len(self.bits):
+                raise LoadError("truncated FLAC bitstream")
+            pw = 1 << np.arange(k - 1, -1, -1, dtype=np.int64)
+            rem = self.bits[idx].astype(np.int64) @ pw
+        else:
+            rem = np.zeros(n, dtype=np.int64)
+        z = (q << k) | rem
+        return (z >> 1) ^ -(z & 1), int(t[-1]) + 1 + k
+
+
+def _decode_residual(
+    r: _BitReader, block_size: int, pred_order: int, fb: _FastBits
+) -> np.ndarray:
     method = r.read(2)
     if method > 1:
         raise LoadError(f"reserved residual coding method {method}")
@@ -142,28 +294,32 @@ def _decode_residual(r: _BitReader, block_size: int, pred_order: int) -> list[in
     n_parts = 1 << part_order
     if block_size % n_parts:
         raise LoadError("block size not divisible by residual partitions")
-    res: list[int] = []
+    parts: list[np.ndarray] = []
+    bitpos = r.byte * 8 + r.bit
     for p in range(n_parts):
         n = (block_size >> part_order) - (pred_order if p == 0 else 0)
         if n < 0:
             raise LoadError("invalid residual partition layout")
-        param = r.read(param_bits)
+        param, bitpos = fb.fields(bitpos, 1, param_bits)
+        param = int(param[0])
         if param == escape:
-            raw_bits = r.read(5)
+            raw_bits, bitpos = fb.fields(bitpos, 1, 5)
+            raw_bits = int(raw_bits[0])
             if raw_bits == 0:
-                res.extend([0] * n)
+                parts.append(np.zeros(n, dtype=np.int64))
             else:
-                res.extend(r.read_signed(raw_bits) for _ in range(n))
+                vals, bitpos = fb.signed_fields(bitpos, n, raw_bits)
+                parts.append(vals)
         else:
-            for _ in range(n):
-                q = r.unary()
-                rem = r.read(param) if param else 0
-                z = (q << param) | rem
-                res.append((z >> 1) ^ -(z & 1))  # zigzag
-    return res
+            vals, bitpos = fb.rice(bitpos, n, param)
+            parts.append(vals)
+    r.byte, r.bit = divmod(bitpos, 8)
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
 
-def _decode_subframe(r: _BitReader, block_size: int, bps: int) -> np.ndarray:
+def _decode_subframe(
+    r: _BitReader, block_size: int, bps: int, fb: _FastBits
+) -> np.ndarray:
     if r.read(1) != 0:
         raise LoadError("subframe padding bit set")
     sf_type = r.read(6)
@@ -175,21 +331,24 @@ def _decode_subframe(r: _BitReader, block_size: int, bps: int) -> np.ndarray:
     if sf_type == 0:  # CONSTANT
         v = r.read_signed(eff)
         out = np.full(block_size, v, dtype=np.int64)
-    elif sf_type == 1:  # VERBATIM
-        out = np.fromiter(
-            (r.read_signed(eff) for _ in range(block_size)),
-            dtype=np.int64, count=block_size,
-        )
+    elif sf_type == 1:  # VERBATIM — one batched gather
+        bitpos = r.byte * 8 + r.bit
+        out, bitpos = fb.signed_fields(bitpos, block_size, eff)
+        r.byte, r.bit = divmod(bitpos, 8)
     elif 8 <= sf_type <= 12:  # FIXED, order 0-4
         order = sf_type - 8
         warm = [r.read_signed(eff) for _ in range(order)]
-        res = _decode_residual(r, block_size, order)
-        coef = _FIXED_COEFFS[order]
-        samples = list(warm)
-        for i in range(order, block_size):
-            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coef))
-            samples.append(pred + res[i - order])
-        out = np.array(samples, dtype=np.int64)
+        res = _decode_residual(r, block_size, order, fb)
+        # the fixed predictors are binomial: the order-th difference of
+        # the samples IS the residual, so integration is `order` exact
+        # int64 cumsums seeded from the warmup's difference pyramid —
+        # no per-sample python loop
+        w = np.asarray(warm, dtype=np.int64)
+        arr = res
+        for j in range(order, 0, -1):
+            seed = np.diff(w, n=j - 1)[-1] if j > 1 else (w[-1] if order else 0)
+            arr = np.cumsum(np.concatenate([[seed], arr]))[1:]
+        out = np.concatenate([w, arr]) if order else arr
     elif sf_type >= 32:  # LPC, order = type - 31
         order = sf_type - 31
         warm = [r.read_signed(eff) for _ in range(order)]
@@ -201,11 +360,13 @@ def _decode_subframe(r: _BitReader, block_size: int, bps: int) -> np.ndarray:
         if shift < 0:
             raise LoadError("negative LPC shift")
         coef = [r.read_signed(prec) for _ in range(order)]
-        res = _decode_residual(r, block_size, order)
+        res = _decode_residual(r, block_size, order, fb)
+        # the LPC recurrence (predict, shift, add) is inherently
+        # sequential in exact integer arithmetic — python loop stays
         samples = list(warm)
         for i in range(order, block_size):
             acc = sum(c * samples[i - 1 - j] for j, c in enumerate(coef))
-            samples.append((acc >> shift) + res[i - order])
+            samples.append((acc >> shift) + int(res[i - order]))
         out = np.array(samples, dtype=np.int64)
     else:
         raise LoadError(f"reserved subframe type {sf_type}")
@@ -242,6 +403,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 
     channels_data: list[list[np.ndarray]] = []
     sample_rate = si_rate
+    fb = _FastBits(b)
     while pos < len(b):
         if pos + 2 > len(b):
             break
@@ -291,18 +453,18 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 
         if chan_code < 8:
             n_ch = chan_code + 1
-            subs = [_decode_subframe(r, block_size, bps) for _ in range(n_ch)]
+            subs = [_decode_subframe(r, block_size, bps, fb) for _ in range(n_ch)]
         elif chan_code == 8:  # left/side
-            left = _decode_subframe(r, block_size, bps)
-            side = _decode_subframe(r, block_size, bps + 1)
+            left = _decode_subframe(r, block_size, bps, fb)
+            side = _decode_subframe(r, block_size, bps + 1, fb)
             subs = [left, left - side]
         elif chan_code == 9:  # right/side
-            side = _decode_subframe(r, block_size, bps + 1)
-            right = _decode_subframe(r, block_size, bps)
+            side = _decode_subframe(r, block_size, bps + 1, fb)
+            right = _decode_subframe(r, block_size, bps, fb)
             subs = [right + side, right]
         elif chan_code == 10:  # mid/side
-            mid = _decode_subframe(r, block_size, bps)
-            side = _decode_subframe(r, block_size, bps + 1)
+            mid = _decode_subframe(r, block_size, bps, fb)
+            side = _decode_subframe(r, block_size, bps + 1, fb)
             m2 = (mid << 1) | (side & 1)
             subs = [(m2 + side) >> 1, (m2 - side) >> 1]
         else:
