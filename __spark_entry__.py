@@ -705,9 +705,47 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(load_token_sequences(spark, sf_dir))
 
 
+_NEAR_DUP_THRESHOLD = 0.9
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pipeline tail, three variants against one recursive
+    oracle: 'pair' = exact shingle Jaccard on LSH candidates;
+    'component' = exact connected-components labels over the confirmed
+    duplicate graph (fixes greedy pair-drop under-merging on chains
+    a~b, b~c — operators/dedup.py connected_components); 'survivor' =
+    the component-min survivor set via dedup_survivors_by_component.
+    DuckDB twin uses WITH RECURSIVE transitive closure + min-label."""
     ts = load_token_sequences(spark, sf_dir)
-    return dedup.jaccard_on_pairs(dedup.lsh_candidate_pairs(ts), ts)
+    pairs = dedup.jaccard_on_pairs(dedup.lsh_candidate_pairs(ts), ts)
+    dup = pairs.where(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
+    comp = dedup.connected_components(dup, "doc_a", "doc_b")
+    surv = dedup.dedup_survivors_by_component(
+        ts.select("doc_id"), components=comp
+    )
+    null_doc = F.lit(None).cast("string")
+    null_jac = F.lit(None).cast("double")
+    return _variant_union(
+        [
+            ("pair", pairs),
+            (
+                "component",
+                comp.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("comp").alias("doc_b"),
+                    null_jac.alias("jaccard"),
+                ),
+            ),
+            (
+                "survivor",
+                surv.select(
+                    F.col("doc_id").alias("doc_a"),
+                    null_doc.alias("doc_b"),
+                    null_jac.alias("jaccard"),
+                ),
+            ),
+        ]
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,7 +1482,32 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": (
             f"{_tok_cte()}, {dedup.lsh_candidate_pairs_oracle_sql()}"
         ),
-        "ngram_jaccard": f"{_tok_cte()}, {dedup.jaccard_oracle_sql()}",
+        "ngram_jaccard": (
+            _tok_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+            + ", "
+            + dedup.jaccard_oracle_sql(final_cte="jac")
+            + ", "
+            + dedup.components_oracle_sql(_NEAR_DUP_THRESHOLD)
+            + " "
+            + _variant_union_sql(
+                [
+                    ("pair", "SELECT doc_a, doc_b, jaccard FROM jac"),
+                    (
+                        "component",
+                        "SELECT id AS doc_a, comp AS doc_b, "
+                        "CAST(NULL AS DOUBLE) AS jaccard FROM comp",
+                    ),
+                    (
+                        "survivor",
+                        "SELECT t.doc_id AS doc_a, "
+                        "CAST(NULL AS VARCHAR) AS doc_b, "
+                        "CAST(NULL AS DOUBLE) AS jaccard FROM tokseq t "
+                        "LEFT JOIN comp c ON t.doc_id = c.id "
+                        "WHERE c.id IS NULL OR c.comp = t.doc_id",
+                    ),
+                ]
+            )
+        ),
         "simhash": f"{_tok_cte()} {dedup.simhash_oracle_sql()}",
         "contamination": (
             f"{_tok_cte()}, "

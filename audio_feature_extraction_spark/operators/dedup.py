@@ -443,21 +443,45 @@ def jaccard_on_pairs(
 
 
 def jaccard_oracle_sql(
-    spec: MinHashSpec = DEFAULT_MINHASH, tok_from: str = "tokseq"
+    spec: MinHashSpec = DEFAULT_MINHASH,
+    tok_from: str = "tokseq",
+    final_cte: str | None = None,
 ) -> str:
     sh = shingle_expr(spark=False)
-    return (
+    ctes = (
         f"sh AS (SELECT doc_id, ({sh}) AS shingles FROM {tok_from}), "
         f"sigs AS ({minhash_signatures_oracle_sql(spec, tok_from)}), "
         f"bands AS ({lsh_bands_union_sql(spec)}), "
         f"pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         f"FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
-        f"AND a.doc_id < b.doc_id) "
+        f"AND a.doc_id < b.doc_id)"
+    )
+    select = (
         f"SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, "
         f"CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
         f"(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard "
         f"FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id "
         f"JOIN sh sb ON p.doc_b = sb.doc_id"
+    )
+    if final_cte is not None:
+        return f"{ctes}, {final_cte} AS ({select})"
+    return f"{ctes} {select}"
+
+
+def components_oracle_sql(threshold: float, jac_cte: str = "jac") -> str:
+    """DuckDB twin of :func:`connected_components` over confirmed
+    near-dup pairs: recursive transitive closure + min-label. Emits a
+    CTE list defining ``dup``/``edges``/``reach``/``comp`` — the
+    caller's ``WITH`` must be ``WITH RECURSIVE`` and must already define
+    ``{jac_cte}(doc_a, doc_b, jaccard)``."""
+    return (
+        f"dup AS (SELECT doc_a, doc_b FROM {jac_cte} "
+        f"WHERE jaccard >= {threshold} AND doc_a <> doc_b), "
+        f"edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup "
+        f"UNION SELECT doc_b, doc_a FROM dup), "
+        f"reach(id, lab) AS (SELECT src, src FROM edges UNION "
+        f"SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst), "
+        f"comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)"
     )
 
 
@@ -594,13 +618,21 @@ def connected_components(
 
 def dedup_survivors_by_component(
     docs_ids: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup survivors: every doc keeps iff it is its
-    component's min id (docs in no pair are their own component)."""
-    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    component's min id (docs in no pair are their own component).
+    Pass ``components`` (a prior :func:`connected_components` result)
+    to reuse labels instead of re-running propagation."""
+    if components is None:
+        if pairs is None:
+            raise ValueError("need pairs or components")
+        comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    else:
+        comp = components
     return (
         docs_ids.join(comp, id_col, "left")
         .where(F.col("comp").isNull() | (F.col("comp") == F.col(id_col)))

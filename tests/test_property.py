@@ -223,3 +223,76 @@ def test_asof_window_bucketed_duckdb_equivalence(spark, scenario):
         duck[seq] = (av, ats)
 
     assert win == buck == duck
+
+
+# ---------------------------------------------------------------------------
+# connected components: Spark label propagation == DuckDB recursive CTE
+# == pure-python union-find, on random duplicate graphs
+# ---------------------------------------------------------------------------
+
+_cc_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(edges=_cc_edges)
+def test_connected_components_matches_recursive_oracle(spark, edges):
+    import duckdb
+    import pandas as pd
+
+    from audio_feature_extraction_spark.operators import dedup
+
+    rows = [(f"d{a:02d}", f"d{b:02d}") for a, b in edges]
+    pairs = spark.createDataFrame(rows, "doc_a string, doc_b string")
+    real = {(a, b) for a, b in rows if a != b}
+    if not real:
+        # all self-loops: the operator defines the node set from real
+        # edges only, so there is nothing to label
+        assert dedup.connected_components(pairs).count() == 0
+        return
+
+    got = {
+        r.doc_id: r.comp for r in dedup.connected_components(pairs).collect()
+    }
+
+    # witness 1: DuckDB recursive transitive closure + min label (the
+    # same shape the driver oracle uses for the ngram_jaccard contract
+    # row, minus the jaccard front-end)
+    con = duckdb.connect()
+    con.register(
+        "jac",
+        pd.DataFrame(list(real), columns=["doc_a", "doc_b"]).assign(
+            jaccard=1.0
+        ),
+    )
+    duck = dict(
+        con.execute(
+            "WITH RECURSIVE "
+            + dedup.components_oracle_sql(0.5)
+            + " SELECT id, comp FROM comp"
+        ).fetchall()
+    )
+
+    # witness 2: union-find
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    uf_groups: dict[str, list[str]] = {}
+    for n in parent:
+        uf_groups.setdefault(find(n), []).append(n)
+    uf = {n: min(g) for g in uf_groups.values() for n in g}
+
+    assert got == duck == uf
