@@ -752,6 +752,34 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_token_sequences(spark, sf_dir))
 
 
+_SPAN_K = 16
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (ExactSubstr analog, Lee et al.): 'span' =
+    merged duplicated k-gram spans (0-based, end-exclusive positions);
+    'strip' = every doc rewritten with those spans cut, via a JVM-side
+    indexed higher-order filter (operators/dedup.py
+    duplicate_gram_spans / strip_duplicate_spans). The contract row
+    coerces both to (variant, doc_id, a, b, payload)."""
+    ts = load_token_sequences(spark, sf_dir)
+    spans = dedup.duplicate_gram_spans(ts, k=_SPAN_K)
+    strip = dedup.strip_duplicate_spans(ts, spans=spans)
+    span_rows = spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("a"),
+        F.col("span_end").cast("long").alias("b"),
+        F.col("n_grams").cast("string").alias("payload"),
+    )
+    strip_rows = _csv_cols(strip, "tokens_clean").select(
+        "doc_id",
+        F.col("n_kept").alias("a"),
+        F.col("n_removed").alias("b"),
+        F.col("tokens_clean_csv").alias("payload"),
+    )
+    return _variant_union([("span", span_rows), ("strip", strip_rows)])
+
+
 _MIX_RATES = {"web": 1.5, "wiki": 2.0, "books": 0.25}
 _MIX_DEFAULT = 0.5
 _PACK_BLOCK = 4096
@@ -1194,7 +1222,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_survivors": q_exact_dedup_survivors,
         "prefix_dup_groups": q_prefix_dup_groups,
         "minhash_signatures": q_minhash_signatures,
-        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        # lsh_candidate_pairs' rows are subsumed by ngram_jaccard's
+        # 'pair' variant (same candidate set, plus the exact score);
+        # its slot funds the substring-dedup row below.
+        "dup_spans": q_dup_spans,
         "ngram_jaccard": q_ngram_jaccard,
         "contamination": q_contamination,
         "corpus_mix": q_corpus_mix,
@@ -1479,8 +1510,30 @@ def oracle_sql() -> dict[str, str]:
             ["doc_id"],
             csv=("signature",),
         ),
-        "lsh_candidate_pairs": (
-            f"{_tok_cte()}, {dedup.lsh_candidate_pairs_oracle_sql()}"
+        "dup_spans": (
+            f"{_tok_cte()}, "
+            + dedup.duplicate_spans_oracle_sql(_SPAN_K)
+            + ", "
+            + dedup.strip_spans_oracle_sql()
+            + " "
+            + _variant_union_sql(
+                [
+                    (
+                        "span",
+                        "SELECT doc_id, CAST(span_start AS BIGINT) AS a, "
+                        "CAST(span_end AS BIGINT) AS b, "
+                        "CAST(n_grams AS VARCHAR) AS payload FROM spans_agg",
+                    ),
+                    (
+                        "strip",
+                        "SELECT doc_id, CAST(n_kept AS BIGINT) AS a, "
+                        "CAST(n_removed AS BIGINT) AS b, "
+                        "CASE WHEN tokens_clean IS NULL THEN NULL "
+                        "ELSE coalesce(array_to_string(tokens_clean, ','), '') "
+                        "END AS payload FROM stripped",
+                    ),
+                ]
+            )
         ),
         "ngram_jaccard": (
             _tok_cte().replace("WITH ", "WITH RECURSIVE ", 1)
@@ -1778,7 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_survivors": leaf["exact_dedup_survivors"],
         "prefix_dup_groups": leaf["prefix_dup_groups"],
         "minhash_signatures": leaf["minhash_signatures"],
-        "lsh_candidate_pairs": leaf["lsh_candidate_pairs"],
+        "dup_spans": leaf["dup_spans"],
         "ngram_jaccard": leaf["ngram_jaccard"],
         "contamination": leaf["contamination"],
         "corpus_mix": leaf["corpus_mix"],

@@ -616,6 +616,180 @@ def connected_components(
     )
 
 
+def duplicate_gram_spans(
+    tokseq: DataFrame,
+    k: int = 16,
+    min_count: int = 2,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Substring-level duplicate spans (the ExactSubstr analog of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"):
+    every maximal run of positions whose k-token gram occurs >=
+    ``min_count`` times ANYWHERE in the corpus (cross-doc or within-doc
+    self-repetition). Returns (doc_id, span_id, span_start, span_end,
+    n_grams) with 0-based token positions, end exclusive; overlapping
+    and adjacent duplicated grams merge into one span (parallel-prefix:
+    running-max-end flag + cumulative sum, one window per doc).
+
+    Scale path (``prefilter=True``, the default): the exploded gram
+    table is the dominant shuffle (~n_tok rows per doc), so counting
+    first groups on the 8-byte ``xxhash64(gram)`` — map-side partial
+    agg, narrow key — and only grams whose HASH count reaches
+    ``min_count`` re-enter the exact full-gram count (a hash collision
+    can only add false candidates, never drop a true duplicate, and the
+    exact pass removes them). The full k-token arrays shuffle only for
+    the surviving minority. A suffix-array pass is the single-node
+    exact-maximal-match refinement; the k-gram grid is the
+    bounded-memory distributed analog.
+    """
+    g = (
+        tokseq.where(F.col("n_tok") >= F.lit(k))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, n_tok - {k}), "
+                    f"i -> slice(tokens, cast(i + 1 as int), {k}))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    if prefilter:
+        hashed = g.withColumn("gh", F.xxhash64("gram"))
+        hot = (
+            hashed.groupBy("gh")
+            .agg(F.count("*").alias("_hc"))
+            .where(F.col("_hc") >= min_count)
+            .select("gh")
+        )
+        cand = hashed.join(hot, "gh").drop("gh")
+    else:
+        cand = g
+    dupg = (
+        cand.groupBy("gram")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    hits = cand.join(dupg, "gram").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(w_prev)
+    return (
+        hits.withColumn(
+            "_f",
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("span_id", F.sum("_f").over(w_run))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    tokseq: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = 16,
+    min_count: int = 2,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Rewrite each doc with every duplicated span removed (the
+    aggressive cut-all-copies policy: deterministic and join-free at
+    rewrite time; the keep-one-occurrence refinement needs a global
+    keeper election per gram and is noted, not implemented). Adds
+    ``tokens_clean`` / ``n_kept`` / ``n_removed``; token filtering is a
+    JVM-side higher-order ``filter`` with index — no Python in the
+    rewrite."""
+    if spans is None:
+        spans = duplicate_gram_spans(
+            tokseq, k=k, min_count=min_count, prefilter=prefilter
+        )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    return (
+        tokseq.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "tokens_clean",
+            F.expr(
+                "CASE WHEN _spans IS NULL THEN tokens ELSE "
+                "filter(tokens, (t, i) -> NOT exists(_spans, "
+                "s -> i >= s.span_start AND i < s.span_end)) END"
+            ),
+        )
+        .withColumn("n_kept", F.size("tokens_clean").cast("long"))
+        .withColumn(
+            "n_removed",
+            (F.col("n_tok") - F.size("tokens_clean")).cast("long"),
+        )
+        .drop("_spans")
+    )
+
+
+def duplicate_spans_oracle_sql(
+    k: int = 16, min_count: int = 2, tok_from: str = "tokseq"
+) -> str:
+    """DuckDB twin of :func:`duplicate_gram_spans`: CTE list defining
+    ``grams``/``dupg``/``hits``/``dup_spans`` over ``{tok_from}``."""
+    return (
+        f"grams AS (SELECT doc_id, pos, tokens[pos + 1 : pos + {k}] AS gram "
+        f"FROM (SELECT doc_id, tokens, "
+        f"CAST(unnest(range(n_tok - {k} + 1)) AS INT) AS pos "
+        f"FROM {tok_from} WHERE n_tok >= {k}) _g), "
+        f"dupg AS (SELECT gram FROM grams GROUP BY gram "
+        f"HAVING count(*) >= {min_count}), "
+        f"hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)), "
+        f"flagged AS (SELECT doc_id, pos, CASE WHEN max(pos + {k}) OVER w1 "
+        f"IS NULL OR pos > max(pos + {k}) OVER w1 THEN 1 ELSE 0 END AS f "
+        f"FROM hits WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        f"span_rows AS (SELECT doc_id, CAST(sum(f) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id, pos "
+        f"FROM flagged), "
+        f"spans_agg AS (SELECT doc_id, span_id, MIN(pos) AS span_start, "
+        f"MAX(pos) + {k} AS span_end, count(*) AS n_grams "
+        f"FROM span_rows GROUP BY doc_id, span_id)"
+    )
+
+
+def strip_spans_oracle_sql(tok_from: str = "tokseq") -> str:
+    """CTE list defining ``stripped`` (doc_id, tokens_clean, n_kept,
+    n_removed); requires ``spans_agg`` from
+    :func:`duplicate_spans_oracle_sql` in scope."""
+    return (
+        f"positions AS (SELECT doc_id, "
+        f"CAST(unnest(range(len(tokens))) AS INT) AS pos, "
+        f"unnest(tokens) AS tok FROM {tok_from}), "
+        f"covered AS (SELECT DISTINCT p.doc_id, p.pos FROM positions p "
+        f"JOIN spans_agg s ON p.doc_id = s.doc_id "
+        f"AND p.pos >= s.span_start AND p.pos < s.span_end), "
+        f"kept AS (SELECT p.doc_id, "
+        f"list(p.tok ORDER BY p.pos) FILTER (WHERE c.pos IS NULL) AS toks, "
+        f"count(*) FILTER (WHERE c.pos IS NULL) AS n_kept, "
+        f"count(c.pos) AS n_removed FROM positions p LEFT JOIN covered c "
+        f"ON p.doc_id = c.doc_id AND p.pos = c.pos GROUP BY p.doc_id), "
+        f"stripped AS (SELECT t.doc_id, "
+        f"coalesce(kp.toks, CAST([] AS INTEGER[])) AS tokens_clean, "
+        f"coalesce(kp.n_kept, 0) AS n_kept, "
+        f"coalesce(kp.n_removed, 0) AS n_removed "
+        f"FROM {tok_from} t LEFT JOIN kept kp USING (doc_id))"
+    )
+
+
 def dedup_survivors_by_component(
     docs_ids: DataFrame,
     pairs: DataFrame | None = None,

@@ -516,3 +516,83 @@ def test_connected_components_durable_path_survives_lost_lineage(spark, tmp_path
 
     left = sorted(os.listdir(tmp_path / "cc"))
     assert left[0] == "cc-0000" and len(left) == 2
+
+
+# ---------------------------------------------------------------------------
+# substring-level span dedup (ExactSubstr analog)
+# ---------------------------------------------------------------------------
+
+def _tokseq_df(spark, rows):
+    return spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+
+
+def test_duplicate_gram_spans_cross_doc_and_merge(spark):
+    """A 6-token run shared by two docs with k=4: grams at positions
+    0..2 of the run are duplicated and merge into ONE span covering the
+    whole run in each doc."""
+    run = [7, 8, 9, 10, 11, 12]
+    rows = [
+        ("a", [1, 2] + run + [3]),          # run at positions 2..7
+        ("b", run + [4, 5, 6]),             # run at positions 0..5
+        ("c", [20, 21, 22, 23, 24]),        # unique
+    ]
+    spans = {
+        (r.doc_id): (r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicate_gram_spans(_tokseq_df(spark, rows), k=4)
+        .collect()
+    }
+    assert spans == {"a": (2, 8, 3), "b": (0, 6, 3)}
+
+
+def test_duplicate_gram_spans_within_doc_repetition(spark):
+    """Self-repetition counts: one doc repeating a 4-gram twice is its
+    own duplicate (min_count=2 over total occurrences)."""
+    rows = [("solo", [1, 2, 3, 4, 9, 1, 2, 3, 4])]
+    out = sorted(
+        (r.span_start, r.span_end)
+        for r in dedup.duplicate_gram_spans(_tokseq_df(spark, rows), k=4)
+        .collect()
+    )
+    assert out == [(0, 4), (5, 9)]
+
+
+def test_duplicate_gram_spans_prefilter_parity(spark):
+    """The hash-prefilter scale path returns exactly the unfiltered
+    exact result (collisions only ever ADD candidates; the exact pass
+    removes them)."""
+    rows = [
+        ("a", list(range(30)) + [1, 2, 3, 4] * 3),
+        ("b", list(range(10, 40))),
+        ("c", [1, 2, 3, 4] + list(range(100, 120))),
+    ]
+    df = _tokseq_df(spark, rows)
+    fast = {
+        (r.doc_id, r.span_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicate_gram_spans(df, k=4, prefilter=True).collect()
+    }
+    slow = {
+        (r.doc_id, r.span_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicate_gram_spans(df, k=4, prefilter=False).collect()
+    }
+    assert fast == slow and fast
+
+
+def test_strip_duplicate_spans_rewrites_tokens(spark):
+    rows = [
+        ("a", [1, 2, 7, 8, 9, 10, 3]),
+        ("b", [7, 8, 9, 10, 4]),
+        ("short", [5]),
+        ("empty", []),
+    ]
+    out = {
+        r.doc_id: (r.tokens_clean, r.n_kept, r.n_removed)
+        for r in dedup.strip_duplicate_spans(_tokseq_df(spark, rows), k=4)
+        .collect()
+    }
+    assert out["a"] == ([1, 2, 3], 3, 4)
+    assert out["b"] == ([4], 1, 4)
+    assert out["short"] == ([5], 1, 0)
+    assert out["empty"] == ([], 0, 0)

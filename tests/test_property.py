@@ -296,3 +296,66 @@ def test_connected_components_matches_recursive_oracle(spark, edges):
     uf = {n: min(g) for g in uf_groups.values() for n in g}
 
     assert got == duck == uf
+
+
+# ---------------------------------------------------------------------------
+# substring span dedup: Spark == brute-force python on random corpora
+# ---------------------------------------------------------------------------
+
+_span_docs = st.lists(
+    st.lists(st.integers(0, 3), min_size=0, max_size=24),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(docs=_span_docs, k=st.sampled_from([2, 3, 4]))
+def test_duplicate_spans_match_bruteforce(spark, docs, k):
+    from collections import Counter
+
+    from audio_feature_extraction_spark.operators import dedup
+
+    rows = [(f"d{i}", toks, len(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int"
+    )
+
+    counts: Counter = Counter()
+    for _, toks, n in rows:
+        for p in range(n - k + 1):
+            counts[tuple(toks[p : p + k])] += 1
+    expect: dict[str, list[tuple[int, int]]] = {}
+    covered: dict[str, set[int]] = {}
+    for d, toks, n in rows:
+        hits = [
+            p
+            for p in range(n - k + 1)
+            if counts[tuple(toks[p : p + k])] >= 2
+        ]
+        spans: list[list[int]] = []
+        for p in hits:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        if spans:
+            expect[d] = [(s, e) for s, e in spans]
+        covered[d] = {i for s, e in spans for i in range(s, e)}
+
+    got: dict[str, list[tuple[int, int]]] = {}
+    spans_df = dedup.duplicate_gram_spans(df, k=k)
+    for r in spans_df.collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for v in got.values():
+        v.sort()
+    assert got == expect
+
+    stripped = {
+        r.doc_id: r.tokens_clean
+        for r in dedup.strip_duplicate_spans(df, spans=spans_df).collect()
+    }
+    for d, toks, n in rows:
+        assert stripped[d] == [
+            t for i, t in enumerate(toks) if i not in covered[d]
+        ]
