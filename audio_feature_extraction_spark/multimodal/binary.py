@@ -74,19 +74,31 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def _decode_real(payload: bytes, modality: str) -> np.ndarray:
-    """The real-decoder seam. Audio (RIFF/PCM WAV) and images (BMP, PNG)
-    decode for real with pure numpy/stdlib (multimodal/wav.py,
-    multimodal/image.py); video and compressed codecs (MP3/JPEG/...)
-    still need ffmpeg-class libraries and keep the honest error."""
+    """The real-decoder seam. Audio (RIFF/PCM WAV, FLAC) and images
+    (BMP, PNG) decode for real with pure numpy/stdlib (multimodal/
+    wav.py, flac.py, image.py). MP3/OGG parse their real container
+    metadata (multimodal/probe.py) but SAMPLE decode needs an
+    ffmpeg-class codec and keeps the honest error here; video likewise.
+    """
     if modality == "audio":
         if payload[:4] == b"fLaC":
             from audio_feature_extraction_spark.multimodal.flac import decode_flac
 
             signal, _sr = decode_flac(payload)
             return signal
+        if payload[:4] == b"OggS" or payload[:3] == b"ID3" or (
+            len(payload) >= 2
+            and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        ):
+            raise NotImplementedError(
+                "MP3/OGG sample decode needs an ffmpeg-class codec; "
+                "container metadata IS parsed — use "
+                "multimodal.probe.probe_media_metadata"
+            )
         from audio_feature_extraction_spark.multimodal.wav import decode_wav
 
-        signal, _sr = decode_wav(payload)  # LoadError on non-WAV/FLAC bytes
+        signal, _sr = decode_wav(payload)  # LoadError on non-WAV bytes
         return signal
     if modality == "image":
         from audio_feature_extraction_spark.multimodal.image import decode_image

@@ -1,0 +1,310 @@
+"""MP3 frame-walk, Ogg page-walk, and the probe_media_metadata operator.
+
+Fixtures are built byte-by-byte from the public specs (ISO 11172-3
+header layout, RFC 3533 page layout) — no codec library involved.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from audio_feature_extraction_spark.multimodal.mpeg import (
+    Mp3Error,
+    parse_frame_header,
+    parse_mp3,
+)
+from audio_feature_extraction_spark.multimodal.ogg import (
+    OggError,
+    ogg_crc,
+    parse_ogg,
+    parse_pages,
+)
+from audio_feature_extraction_spark.multimodal.probe import (
+    ProbeError,
+    probe_media_metadata,
+    probe_payload,
+)
+
+# ---------------------------------------------------------------------------
+# builders (spec-driven, test-only)
+# ---------------------------------------------------------------------------
+
+_BR_IDX_V1L3 = {32: 1, 40: 2, 48: 3, 56: 4, 64: 5, 80: 6, 96: 7, 112: 8,
+                128: 9, 160: 10, 192: 11, 224: 12, 256: 13, 320: 14}
+_BR_IDX_V2L3 = {8: 1, 16: 2, 24: 3, 32: 4, 40: 5, 48: 6, 56: 7, 64: 8,
+                80: 9, 96: 10, 112: 11, 128: 12, 144: 13, 160: 14}
+
+
+def _mp3_frame(
+    kbps: int = 128,
+    sr: int = 44100,
+    padding: int = 0,
+    mode: int = 0,          # 0=stereo .. 3=mono
+    mpeg2: bool = False,
+    fill: bytes = b"",
+) -> bytes:
+    if mpeg2:
+        version, br_idx = 2, _BR_IDX_V2L3[kbps]
+        sr_idx = {22050: 0, 24000: 1, 16000: 2}[sr]
+        frame_len = 72 * kbps * 1000 // sr + padding
+    else:
+        version, br_idx = 3, _BR_IDX_V1L3[kbps]
+        sr_idx = {44100: 0, 48000: 1, 32000: 2}[sr]
+        frame_len = 144 * kbps * 1000 // sr + padding
+    h = (0x7FF << 21) | (version << 19) | (1 << 17) | (1 << 16)  # L3, no CRC
+    h |= (br_idx << 12) | (sr_idx << 10) | (padding << 9) | (mode << 6)
+    head = h.to_bytes(4, "big")
+    body = (fill * (frame_len // max(len(fill), 1) + 1))[: frame_len - 4] \
+        if fill else bytes(frame_len - 4)
+    return head + body
+
+
+def _xing_frame(n_frames: int, tag: bytes = b"Xing") -> bytes:
+    """A stereo MPEG-1 L3 frame carrying a Xing/Info tag with a frame
+    count (side info offset 32 for MPEG-1 non-mono)."""
+    frame = bytearray(_mp3_frame())
+    p = 4 + 32
+    frame[p : p + 4] = tag
+    frame[p + 4 : p + 8] = (0x1).to_bytes(4, "big")       # FRAMES flag
+    frame[p + 8 : p + 12] = n_frames.to_bytes(4, "big")
+    return bytes(frame)
+
+
+def _id3v2(payload_size: int = 200) -> bytes:
+    size = bytes(
+        [(payload_size >> 21) & 0x7F, (payload_size >> 14) & 0x7F,
+         (payload_size >> 7) & 0x7F, payload_size & 0x7F]
+    )
+    return b"ID3\x04\x00\x00" + size + bytes(payload_size)
+
+
+def _ogg_page(
+    serial: int, seq: int, granule: int, body: bytes, header_type: int = 0
+) -> bytes:
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    head = bytearray()
+    head += b"OggS\x00"
+    head.append(header_type)
+    head += granule.to_bytes(8, "little", signed=True)
+    head += serial.to_bytes(4, "little")
+    head += seq.to_bytes(4, "little")
+    head += b"\x00\x00\x00\x00"          # crc placeholder
+    head.append(len(segs))
+    head += bytes(segs)
+    page = bytes(head) + body
+    crc = ogg_crc(page)
+    return page[:22] + crc.to_bytes(4, "little") + page[26:]
+
+
+def _vorbis_id(channels: int = 2, rate: int = 44100) -> bytes:
+    return (
+        b"\x01vorbis"
+        + (0).to_bytes(4, "little")
+        + bytes([channels])
+        + rate.to_bytes(4, "little")
+        + bytes(12)                      # bitrate max/nominal/min
+        + b"\xb8"                        # blocksizes
+        + b"\x01"                        # framing bit
+    )
+
+
+def _opus_head(channels: int = 1, pre_skip: int = 312) -> bytes:
+    return (
+        b"OpusHead\x01"
+        + bytes([channels])
+        + pre_skip.to_bytes(2, "little")
+        + (48000).to_bytes(4, "little")
+        + bytes(3)                       # gain + mapping family
+    )
+
+
+def _vorbis_stream(granules=(0, 11025, 44100), channels=2, rate=44100) -> bytes:
+    serial = 777
+    pages = [_ogg_page(serial, 0, granules[0], _vorbis_id(channels, rate),
+                       header_type=2)]
+    for i, g in enumerate(granules[1:], start=1):
+        ht = 4 if i == len(granules) - 1 else 0
+        pages.append(_ogg_page(serial, i, g, bytes([i]) * 50, header_type=ht))
+    return b"".join(pages)
+
+
+# ---------------------------------------------------------------------------
+# MP3
+# ---------------------------------------------------------------------------
+
+def test_mp3_cbr_walk_counts_frames_and_duration():
+    frames = [_mp3_frame(padding=i % 2) for i in range(10)]
+    info = parse_mp3(b"".join(frames))
+    assert info.n_frames == 10
+    assert info.sample_rate == 44100
+    assert info.channels == 2 and info.channel_mode == "stereo"
+    assert info.layer == 3 and info.mpeg_version == "1"
+    assert info.duration_s == pytest.approx(10 * 1152 / 44100)
+    assert info.avg_bitrate_kbps == pytest.approx(128.0)
+    assert not info.vbr and info.n_resyncs == 0
+
+
+def test_mp3_frame_header_fields():
+    hdr = parse_frame_header(_mp3_frame(kbps=192, sr=48000, mode=3))
+    assert hdr.bitrate_kbps == 192
+    assert hdr.sample_rate == 48000
+    assert hdr.channel_mode == "mono"
+    assert hdr.frame_bytes == 144 * 192000 // 48000
+    assert hdr.samples_per_frame == 1152
+
+
+def test_mp3_mpeg2_frame_geometry():
+    info = parse_mp3(b"".join(_mp3_frame(kbps=64, sr=22050, mpeg2=True)
+                              for _ in range(4)))
+    assert info.mpeg_version == "2"
+    assert info.sample_rate == 22050
+    assert info.duration_s == pytest.approx(4 * 576 / 22050)
+
+
+def test_mp3_vbr_stream_averages_bitrate():
+    frames = [_mp3_frame(kbps=64), _mp3_frame(kbps=128), _mp3_frame(kbps=192)]
+    info = parse_mp3(b"".join(frames))
+    assert info.vbr
+    assert info.avg_bitrate_kbps == pytest.approx((64 + 128 + 192) / 3)
+
+
+def test_mp3_id3_tags_are_skipped():
+    body = b"".join(_mp3_frame() for _ in range(3))
+    payload = _id3v2(150) + body + b"TAG" + bytes(125)
+    info = parse_mp3(payload)
+    assert info.n_frames == 3
+    assert info.id3v2_bytes == 160 and info.id3v1
+
+
+def test_mp3_xing_tag_and_info_tag():
+    vbr = parse_mp3(_xing_frame(4242, b"Xing") + _mp3_frame())
+    assert vbr.xing_frames == 4242 and vbr.vbr
+    cbr = parse_mp3(_xing_frame(7, b"Info") + _mp3_frame())
+    assert cbr.xing_frames == 7 and not cbr.vbr
+
+
+def test_mp3_resync_across_junk():
+    payload = _mp3_frame() + b"\x00garbage\x01" + _mp3_frame() + _mp3_frame()
+    info = parse_mp3(payload)
+    assert info.n_frames == 3 and info.n_resyncs >= 1
+
+
+def test_mp3_rejects_non_audio():
+    with pytest.raises(Mp3Error):
+        parse_mp3(b"\x00" * 256)
+    with pytest.raises(Mp3Error):
+        parse_mp3(_id3v2(20) + bytes(40))  # tag but no frames
+
+
+# ---------------------------------------------------------------------------
+# Ogg
+# ---------------------------------------------------------------------------
+
+def test_ogg_vorbis_pages_and_duration():
+    info = parse_ogg(_vorbis_stream())
+    assert info.codec == "vorbis"
+    assert info.channels == 2 and info.sample_rate == 44100
+    assert info.n_pages == 3
+    assert info.last_granule == 44100
+    assert info.duration_s == pytest.approx(1.0)
+    assert info.serials == (777,)
+
+
+def test_ogg_crc_is_verified():
+    raw = bytearray(_vorbis_stream())
+    raw[-1] ^= 0xFF                       # corrupt the last body byte
+    with pytest.raises(OggError, match="crc mismatch"):
+        parse_ogg(bytes(raw))
+    info = parse_ogg(bytes(raw), verify_crc=False)
+    assert info.n_pages == 3
+
+
+def test_ogg_multi_segment_lacing():
+    page = _ogg_page(1, 0, -1, bytes(600))
+    pages = parse_pages(page)
+    assert pages[0].n_segments == 3 and len(pages[0].body) == 600
+
+
+def test_ogg_opus_preskip_subtracted():
+    serial = 9
+    pages = (
+        _ogg_page(serial, 0, 0, _opus_head(pre_skip=312), header_type=2)
+        + _ogg_page(serial, 1, 48000 + 312, bytes(20), header_type=4)
+    )
+    info = parse_ogg(pages)
+    assert info.codec == "opus" and info.sample_rate == 48000
+    assert info.duration_s == pytest.approx(1.0)
+
+
+def test_ogg_rejects_garbage():
+    with pytest.raises(OggError):
+        parse_ogg(b"NotOggAtAll" + bytes(30))
+
+
+# ---------------------------------------------------------------------------
+# probe dispatch + the Spark operator
+# ---------------------------------------------------------------------------
+
+def _fixture_payloads() -> dict[str, bytes]:
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal.flac import encode_flac
+    from audio_feature_extraction_spark.multimodal.image import (
+        encode_bmp,
+        encode_png,
+    )
+    from audio_feature_extraction_spark.multimodal.wav import encode_pcm16
+
+    sig = np.sin(np.linspace(0, 20, 1600)).astype(np.float64)
+    rgb = (np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5) % 255
+    return {
+        "wav": encode_pcm16(sig, 16000),
+        "flac": encode_flac((sig * 30000).astype(np.int32), 16000),
+        "mp3": b"".join(_mp3_frame() for _ in range(5)),
+        "ogg": _vorbis_stream(),
+        "png": encode_png(rgb),
+        "bmp": encode_bmp(rgb),
+    }
+
+
+def test_probe_payload_dispatch():
+    got = {k: probe_payload(v) for k, v in _fixture_payloads().items()}
+    assert got["wav"]["container"] == "wav"
+    assert got["wav"]["sample_rate"] == 16000 and got["wav"]["channels"] == 1
+    assert got["wav"]["n_frames"] == 1600
+    assert got["flac"]["container"] == "flac"
+    assert got["flac"]["sample_rate"] == 16000
+    assert got["flac"]["n_frames"] == 1600
+    assert got["mp3"]["codec"] == "mpeg1_layer3"
+    assert got["mp3"]["n_frames"] == 5
+    assert got["ogg"]["codec"] == "vorbis"
+    assert got["png"] == {"container": "png", "codec": "png",
+                          "width": 4, "height": 4}
+    assert got["bmp"]["width"] == 4 and got["bmp"]["height"] == 4
+    with pytest.raises(ProbeError):
+        probe_payload(b"\x00\x01\x02\x03junk")
+
+
+def test_probe_media_metadata_operator(spark):
+    payloads = _fixture_payloads()
+    rows = [(k, v) for k, v in payloads.items()]
+    rows.append(("broken", b"\x00\x01notacontainer"))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+
+    out = {r.media_id: r for r in probe_media_metadata(df).collect()}
+    assert len(out) == 7
+    assert out["mp3"].duration_s == pytest.approx(5 * 1152 / 44100)
+    assert out["mp3"].bit_rate_kbps == pytest.approx(128.0)
+    assert out["ogg"].duration_s == pytest.approx(1.0)
+    assert out["wav"].error is None and out["wav"].n_bytes == len(payloads["wav"])
+    assert out["png"].width == 4 and out["png"].sample_rate is None
+    assert out["broken"].container is None
+    assert "ProbeError" in out["broken"].error
+
+    with pytest.raises(Exception):
+        probe_media_metadata(df, on_error="raise").collect()
