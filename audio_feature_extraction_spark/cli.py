@@ -164,6 +164,7 @@ def cmd_prepare_corpus(args) -> int:
         block_len=args.block_len,
         jaccard_threshold=args.threshold,
         resume_dir=args.resume_dir,
+        substring_k=args.substring_k,
     )
     mixed, blocks, report = corpus.prepare_corpus(spark, args.input, cfg)
     mixed.write.mode("overwrite").parquet(f"{args.output}/corpus")
@@ -377,6 +378,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="commit each stage as an atomic snapshot under "
                     "this dir; a rerun skips committed stages (stage-"
                     "level crash resume)")
+    sp.add_argument("--substring-k", type=int, default=None,
+                    help="enable substring dedup: cut every span whose "
+                    "k-token gram repeats anywhere in the corpus")
     sp.set_defaults(fn=cmd_prepare_corpus)
 
     args = p.parse_args(argv)

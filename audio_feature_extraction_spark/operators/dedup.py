@@ -655,14 +655,24 @@ def duplicate_gram_spans(
         )
     )
     if prefilter:
-        hashed = g.withColumn("gh", F.xxhash64("gram"))
+        # pass 1 explodes HASHES only (xxhash64 evaluated inside the
+        # lambda — bit-identical to hashing the materialized slice), so
+        # the full k-token arrays are built once, in pass 2
+        hashes = tokseq.where(F.col("n_tok") >= F.lit(k)).select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n_tok - {k}), "
+                    f"i -> xxhash64(slice(tokens, cast(i + 1 as int), {k})))"
+                )
+            ).alias("gh")
+        )
         hot = (
-            hashed.groupBy("gh")
+            hashes.groupBy("gh")
             .agg(F.count("*").alias("_hc"))
             .where(F.col("_hc") >= min_count)
             .select("gh")
         )
-        cand = hashed.join(hot, "gh").drop("gh")
+        cand = g.withColumn("gh", F.xxhash64("gram")).join(hot, "gh").drop("gh")
     else:
         cand = g
     dupg = (

@@ -6,6 +6,8 @@ run executes, in the canonical order:
 1. exact dedup        (hash groupBy on text — drop byte-identical docs)
 2. near-dup removal   (MinHash-LSH candidates -> exact n-gram Jaccard
                        verify -> greedy keep-lowest-id survivor)
+2b. substring dedup   (optional: cut duplicated k-gram spans inside the
+                       survivors — the ExactSubstr pass; off by default)
 3. quality filter     (Gopher-style repetition rules + minimum length)
 4. decontamination    (drop TRAIN docs sharing 8-gram shingles with the
                        held-out test split)
@@ -57,6 +59,11 @@ class CorpusConfig:
     # cluster) — None keeps local-mode localCheckpoint; see
     # connected_components for the executor-loss rationale
     components_checkpoint_dir: str | None = None
+    # substring-level dedup (Lee et al. ExactSubstr analog): set a
+    # k-gram width to cut every duplicated span from the near-dup
+    # survivors; docs emptied by the cut are dropped. None = off.
+    substring_k: int | None = None
+    substring_min_count: int = 2
     # per-stage row counts in the report. Each count materializes the
     # chain-so-far, so accounting caches every stage (persist + count,
     # released once the next stage lands). accounting=False skips the
@@ -152,6 +159,26 @@ def prepare_corpus(
         drop = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
         ts = ts.join(drop, "doc_id", "left_anti")
     ts = stage(ts, "after_near_dedup")
+
+    # 2b. substring dedup (optional): rewrite survivors with duplicated
+    # k-gram spans cut; n_tok tracks the rewritten length so packing
+    # downstream stays consistent
+    if cfg.substring_k is not None:
+        rest = [
+            c for c in ts.columns if c not in ("doc_id", "tokens", "n_tok")
+        ]
+        stripped = dedup.strip_duplicate_spans(
+            ts, k=cfg.substring_k, min_count=cfg.substring_min_count
+        )
+        ts = stage(
+            stripped.select(
+                "doc_id",
+                F.col("tokens_clean").alias("tokens"),
+                F.col("n_kept").cast("int").alias("n_tok"),
+                *rest,
+            ).where(F.col("n_tok") > 0),
+            "after_substring_dedup",
+        )
 
     # 3. quality filter: repetition + minimum length
     rep = textstats.repetition_stats(docs)

@@ -204,6 +204,12 @@ def run_queries(
             "minhash_lsh_pairs",
             lambda: _noop(dedup.lsh_candidate_pairs(amplified)),
         )
+        # substring dedup: the gram explode is the widest shuffle in the
+        # suite (~n_tok rows/doc through the hash prefilter)
+        timed(
+            "dup_spans",
+            lambda: _noop(dedup.duplicate_gram_spans(amplified)),
+        )
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         timed(
             "ann_lsh",

@@ -226,3 +226,51 @@ def test_prepare_corpus_kill_and_resume(spark, tmp_path):
         return corpus_rows, block_rows
 
     assert rows("out_resumed") == rows("out_plain")
+
+
+def test_prepare_corpus_substring_stage(spark):
+    """Optional stage 2b: a 12-word run shared by two otherwise-distinct
+    docs is cut from BOTH (k=8 grams), and a doc that is nothing but the
+    shared run is emptied and dropped."""
+    from pyspark.sql import functions as F
+
+    from audio_feature_extraction_spark.plans import corpus
+    from audio_feature_extraction_spark.sources.tokens import tokenize_expr
+
+    def words(seed, n):
+        return " ".join(
+            chr(97 + (seed * 5 + i * 3) % 26)
+            + "x" * ((seed * 3 + i) % 7)
+            + chr(97 + (seed * 11 + i * 7) % 26)
+            for i in range(n)
+        )
+
+    run = words(7, 12)
+    texts = {
+        0: run + " " + words(1, 28),      # shared run + unique tail
+        1: run + " " + words(2, 28),      # same run, different tail
+        2: run,                           # nothing but the run -> emptied
+        3: words(3, 30),                  # untouched control
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    toks = tokenize_expr()
+    tokseq = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        "source",
+    )
+    mixed, _blocks, report = corpus.prepare_corpus(
+        spark, "",
+        cfg=corpus.CorpusConfig(block_len=64, substring_k=8, min_words=3),
+        docs=docs, tokseq=tokseq,
+    )
+    out = {r.doc_id: r.n_tok for r in mixed.select("doc_id", "n_tok").collect()}
+    assert report["after_near_dedup"] == 4       # low jaccard: all survive
+    assert report["after_substring_dedup"] == 3  # doc_2 emptied and dropped
+    assert out["doc_0"] == 28 and out["doc_1"] == 28
+    assert out["doc_3"] == 30
+    assert "doc_2" not in out
