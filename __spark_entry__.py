@@ -55,6 +55,7 @@ from audio_feature_extraction_spark.operators import (
     spectral,
     split,
     temporal,
+    textclean,
     textstats,
     validate,
 )
@@ -693,6 +694,44 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_dup_groups(docs, 40)
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (full-text hash) and prefix (boilerplate-catching)
+    duplicate-group detection share one contract row — identical
+    (group_hash, n_docs, keep_doc_id) shape, one oracle each."""
+    return _variant_union(
+        [
+            (
+                "exact",
+                q_exact_dup_groups(spark, sf_dir).withColumnRenamed(
+                    "text_hash", "group_hash"
+                ),
+            ),
+            (
+                "prefix",
+                q_prefix_dup_groups(spark, sf_dir).withColumnRenamed(
+                    "prefix_hash", "group_hash"
+                ),
+            ),
+        ]
+    )
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intake normalization / PII scrub (operators/textclean.py): mask
+    URL/email/IPv4, strip control chars, collapse whitespace — one
+    JVM-side regexp_replace chain, no UDF. The synthetic corpus is
+    clean word soup, so the contract fixture deterministically
+    decorates each doc with id-derived instances of every pattern
+    (identically in Spark and DuckDB) before scrubbing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = docs.select(
+        "doc_id", F.expr(textclean.dirty_text_expr(True)).alias("text")
+    )
+    return textclean.scrub_text(dirty).select(
+        "doc_id", "text_clean", "n_urls", "n_emails", "n_ips"
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-kernel signatures checked against the DuckDB SQL twin."""
     return _csv_cols(
@@ -1218,9 +1257,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_chain": q_process_chain,
         "adjust_frames": q_adjust_frames,
         "reconstruct_params": q_reconstruct_params,
-        "exact_dup_groups": q_exact_dup_groups,
+        # exact_dup_groups + prefix_dup_groups merged (identical shape);
+        # the freed slot funds the text_scrub row
+        "dup_groups": q_dup_groups,
+        "text_scrub": q_text_scrub,
         "exact_dedup_survivors": q_exact_dedup_survivors,
-        "prefix_dup_groups": q_prefix_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         # lsh_candidate_pairs' rows are subsumed by ngram_jaccard's
         # 'pair' variant (same candidate set, plus the exact score);
@@ -1498,7 +1539,28 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT t.doc_id AS doc_id, (t.tokens = r.tokens) AS ok "
             f"FROM tokseq t LEFT JOIN rec r USING (doc_id) WHERE t.n_tok > 0"
         ),
-        "exact_dup_groups": dedup.exact_dup_oracle_sql(),
+        "dup_groups": _variant_union_sql(
+            [
+                (
+                    "exact",
+                    "SELECT text_hash AS group_hash, n_docs, keep_doc_id "
+                    f"FROM ({dedup.exact_dup_oracle_sql()}) _e",
+                ),
+                (
+                    "prefix",
+                    "SELECT prefix_hash AS group_hash, n_docs, keep_doc_id "
+                    f"FROM ({dedup.prefix_dup_oracle_sql(40)}) _p",
+                ),
+            ]
+        ),
+        "text_scrub": (
+            "WITH dirty AS (SELECT doc_id, "
+            + textclean.dirty_text_expr(False)
+            + " AS text FROM documents) "
+            + "SELECT doc_id, text_clean, n_urls, n_emails, n_ips FROM ("
+            + textclean.scrub_oracle_sql("dirty")
+            + ") _s"
+        ),
         "exact_dedup_survivors": (
             "SELECT doc_id, text, lang, source, n_chars FROM ("
             "SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn "
@@ -1827,9 +1889,9 @@ def oracle_sql() -> dict[str, str]:
         "process_chain": leaf["process_chain"],
         "adjust_frames": leaf["adjust_frames"],
         "reconstruct_params": leaf["reconstruct_params"],
-        "exact_dup_groups": leaf["exact_dup_groups"],
+        "dup_groups": leaf["dup_groups"],
+        "text_scrub": leaf["text_scrub"],
         "exact_dedup_survivors": leaf["exact_dedup_survivors"],
-        "prefix_dup_groups": leaf["prefix_dup_groups"],
         "minhash_signatures": leaf["minhash_signatures"],
         "dup_spans": leaf["dup_spans"],
         "ngram_jaccard": leaf["ngram_jaccard"],
