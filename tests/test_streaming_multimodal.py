@@ -1017,3 +1017,67 @@ def test_flac_multi_partition_residuals():
         sig, sr = decode_flac(payload)
         assert sr == 16000
         assert np.array_equal(np.round(sig * 32768).astype(np.int64), x), (rp, po)
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """A corpus replayed in doc_id order through a real two-trigger
+    streaming query admits exactly the batch exact_dedup survivor set:
+    cross-batch duplicates are dropped by the carried state, and a
+    never-before-seen text in batch 2 is admitted."""
+    from audio_feature_extraction_spark.operators import dedup as batch_dedup
+    from audio_feature_extraction_spark.streaming import dedup as sdedup
+
+    schema = "doc_id string, text string"
+    batch1 = [
+        ("d00", "alpha beta"),
+        ("d01", "gamma delta"),
+        ("d02", "alpha beta"),       # dup of d00, same batch
+    ]
+    batch2 = [
+        ("d03", "alpha beta"),       # dup of d00, across batches
+        ("d04", "epsilon zeta"),     # new text
+        ("d05", "gamma delta"),      # dup of d01, across batches
+        ("d06", "epsilon zeta"),     # dup of d04, same batch
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sdedup.stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+        got = {
+            r.doc_id: r.keeper_doc_id
+            for r in spark.sql("select * from dedup_out").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == {"d00": "d00", "d01": "d01", "d04": "d04"}
+
+    # replay-in-order equivalence with the batch pass
+    batch = {
+        r.doc_id
+        for r in batch_dedup.exact_dedup(
+            spark.createDataFrame(batch1 + batch2, schema)
+        ).collect()
+    }
+    assert set(got) == batch
