@@ -244,3 +244,34 @@ def test_round3_ops_plan_shapes(spark):
     plan = _plan(rep)
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "text" in scan and "lang" not in scan and "n_chars" not in scan
+
+
+def test_round4_ops_plan_shapes(spark):
+    """Round-4 operators keep the 100 TB shapes."""
+    from audio_feature_extraction_spark.operators import dedup, textclean
+
+    ts = load_token_sequences(spark, SF)
+
+    # substring span dedup: no cartesian anywhere; the hash-prefilter
+    # count pass groups on the 8-byte xxhash64, not the gram array
+    spans = dedup.duplicate_gram_spans(ts, k=8)
+    plan = _plan(spans)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # pure JVM, no Python on rows
+    assert "hashpartitioning(gh#" in plan or "gh#" in plan
+
+    # span rewrite stays JVM-side (higher-order filter, no UDF)
+    stripped = dedup.strip_duplicate_spans(ts, spans=spans, k=8)
+    assert "BatchEvalPython" not in _plan(stripped)
+
+    # text scrub: a narrow map — zero exchanges, whole-stage codegen,
+    # and the documents scan pruned to what it touches
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scrubbed = textclean.scrub_text(docs.select("doc_id", "text"))
+    splan = _plan(scrubbed)
+    assert _n_exchanges(scrubbed) == 0
+    assert splan.lstrip().startswith("*(")  # whole-stage codegen star
+    assert "BatchEvalPython" not in splan
+    scan = splan[splan.index("ReadSchema") :].splitlines()[0]
+    assert "lang" not in scan and "source" not in scan
