@@ -1081,3 +1081,55 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert set(got) == batch
+
+
+def test_stream_exact_dedup_state_survives_restart(spark, tmp_path):
+    """The dedup state store is durable: a NEW query started from the
+    same checkpoint still drops duplicates of docs admitted before the
+    restart (exactly-once admission across query lifetimes)."""
+    from audio_feature_extraction_spark.streaming import dedup as sdedup
+
+    schema = "doc_id string, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def start():
+        # file sink: the only built-in sink that supports checkpoint
+        # recovery (the memory sink refuses to restart)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        return (
+            sdedup.stream_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    spark.createDataFrame(
+        [("d0", "alpha"), ("d1", "beta")], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # new query, same checkpoint: d2 duplicates pre-restart d0 -> drop
+    spark.createDataFrame(
+        [("d2", "alpha"), ("d3", "gamma")], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q = start()
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    finally:
+        q.stop()
+
+    assert got == {"d0", "d1", "d3"}  # d2 dropped by pre-restart state
