@@ -359,3 +359,78 @@ def test_duplicate_spans_match_bruteforce(spark, docs, k):
         assert stripped[d] == [
             t for i, t in enumerate(toks) if i not in covered[d]
         ]
+
+
+# ---------------------------------------------------------------------------
+# sessionize + backfill: Spark window chain == DuckDB, random event streams
+# (duplicate timestamps, null values, hot entities)
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _event_streams(draw):
+    n = draw(st.integers(2, 28))
+    events = []
+    for seq in range(n):
+        events.append(
+            (
+                draw(st.integers(0, 2)),                      # entity (hot)
+                draw(st.integers(0, 5000)),                   # ts seconds
+                draw(st.one_of(st.none(), st.integers(0, 99))),  # value
+                seq,                                          # event_id
+            )
+        )
+    gap = draw(st.sampled_from([60, 600, 1800]))
+    return events, gap
+
+
+@settings(max_examples=25, deadline=None)
+@given(scenario=_event_streams())
+def test_sessionize_backfill_match_duckdb(spark, scenario):
+    import duckdb
+    import pandas as pd
+
+    from audio_feature_extraction_spark.operators import sessionize, temporal
+
+    events, gap = scenario
+    rows = [
+        (e, _T0 + _dt.timedelta(seconds=ts), float(v) if v is not None else None, seq)
+        for (e, ts, v, seq) in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+
+    got_sess = {
+        r.event_id: r.session_id
+        for r in sessionize.sessionize(df, float(gap)).collect()
+    }
+    got_fill = {
+        r.event_id: r.filled
+        for r in temporal.backfill(df, value_col="value").collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "ev",
+        pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"]),
+    )
+    duck_sess = dict(
+        con.execute(
+            f"SELECT event_id, CAST(sum(f) OVER (PARTITION BY user_id "
+            f"ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"CURRENT ROW) AS BIGINT) FROM (SELECT event_id, user_id, ts, "
+            f"CASE WHEN lag(ts) OVER w IS NOT NULL AND "
+            f"epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap * 1_000_000} "
+            f"THEN 1 ELSE 0 END AS f FROM ev "
+            f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) _q"
+        ).fetchall()
+    )
+    duck_fill = dict(
+        con.execute(
+            "SELECT event_id, last_value(value IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM ev"
+        ).fetchall()
+    )
+    assert got_sess == duck_sess
+    assert got_fill == duck_fill
