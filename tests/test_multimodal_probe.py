@@ -308,3 +308,41 @@ def test_probe_media_metadata_operator(spark):
 
     with pytest.raises(Exception):
         probe_media_metadata(df, on_error="raise").collect()
+
+
+def _raw_header(version=3, layer_bits=1, br_idx=9, sr_idx=0,
+                padding=0, mode=0, protection=1) -> bytes:
+    h = (0x7FF << 21) | (version << 19) | (layer_bits << 17) | (protection << 16)
+    h |= (br_idx << 12) | (sr_idx << 10) | (padding << 9) | (mode << 6)
+    return h.to_bytes(4, "big")
+
+
+def test_mp3_layer1_and_layer2_geometry():
+    # Layer I (bits 11): slot-of-4 formula, 384 samples/frame
+    h1 = parse_frame_header(_raw_header(layer_bits=3, br_idx=14, sr_idx=2))
+    assert h1.layer == 1 and h1.samples_per_frame == 384
+    assert h1.bitrate_kbps == 448 and h1.sample_rate == 32000
+    assert h1.frame_bytes == (12 * 448000 // 32000) * 4
+    p1 = parse_frame_header(_raw_header(layer_bits=3, br_idx=14, sr_idx=2,
+                                        padding=1))
+    assert p1.frame_bytes == h1.frame_bytes + 4  # L1 padding slot = 4 bytes
+
+    # Layer II (bits 10): 144 formula, 1152 samples/frame
+    h2 = parse_frame_header(_raw_header(layer_bits=2, br_idx=14, sr_idx=1))
+    assert h2.layer == 2 and h2.samples_per_frame == 1152
+    assert h2.bitrate_kbps == 384 and h2.sample_rate == 48000
+    assert h2.frame_bytes == 144 * 384000 // 48000
+
+
+def test_mp3_rejects_unwalkable_headers():
+    assert parse_frame_header(_raw_header(br_idx=0)) is None      # free-format
+    assert parse_frame_header(_raw_header(br_idx=15)) is None     # invalid
+    assert parse_frame_header(_raw_header(sr_idx=3)) is None      # reserved sr
+    assert parse_frame_header(_raw_header(version=1)) is None     # reserved ver
+    assert parse_frame_header(_raw_header(layer_bits=0)) is None  # reserved layer
+    assert parse_frame_header(b"\xfe\xfb\x90\x00") is None        # bad sync
+
+
+def test_mp3_protected_frame_flag():
+    hdr = parse_frame_header(_raw_header(protection=0))
+    assert hdr.protected  # protection bit 0 => CRC-16 follows
