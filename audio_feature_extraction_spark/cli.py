@@ -218,6 +218,30 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_probe(args) -> int:
+    """Container sniff + real metadata over a (media_id, payload)
+    parquet: per-payload container/codec/rate/duration rows, bad
+    payloads recorded (not fatal), counts by container printed."""
+    from audio_feature_extraction_spark.multimodal.probe import (
+        probe_media_metadata,
+    )
+
+    spark = get_spark(app_name="afes-probe")
+    media = spark.read.parquet(args.input)
+    out = probe_media_metadata(media, on_error=args.on_error)
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    by_container = {
+        (r.container or "ERROR"): r.n
+        for r in written.groupBy("container")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    print(json.dumps({"command": "probe", "by_container": by_container}))
+    spark.stop()
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """MinHash-LSH near-dup report: candidate pairs + exact Jaccard."""
     from audio_feature_extraction_spark.operators import dedup
@@ -325,6 +349,14 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("profile", help="text quality/langid profile")
     common(sp)
     sp.set_defaults(fn=cmd_profile)
+
+    sp = sub.add_parser(
+        "probe", help="media container sniff + metadata (WAV/FLAC/MP3/"
+        "OGG/PNG/BMP) over a (media_id, payload) parquet"
+    )
+    common(sp)
+    sp.add_argument("--on-error", choices=("skip", "raise"), default="skip")
+    sp.set_defaults(fn=cmd_probe)
 
     sp = sub.add_parser("pit", help="point-in-time feature serving over events")
     common(sp)

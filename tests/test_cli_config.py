@@ -89,3 +89,28 @@ def test_cli_extract_snapshot_resume(tmp_path):
     assert out2.returncode == 0, out2.stderr[-500:]
     rep2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert rep2["rows"] == rep1["rows"]  # rerun adds nothing
+
+
+@pytest.mark.slow
+def test_cli_probe(tmp_path, spark):
+    """Real process probe over a mixed media parquet: every good payload
+    classified by container, the corrupt one recorded as an error row."""
+    from tests.test_multimodal_probe import _fixture_payloads
+
+    rows = [(k, v) for k, v in _fixture_payloads().items()]
+    rows.append(("broken", b"\x00notacontainer"))
+    src = tmp_path / "media"
+    spark.createDataFrame(rows, "media_id string, payload binary").write.parquet(
+        str(src)
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "audio_feature_extraction_spark.cli", "probe",
+         "--input", str(src), "--output", str(tmp_path / "meta")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["by_container"] == {
+        "wav": 1, "flac": 1, "mp3": 1, "ogg": 1, "png": 1, "bmp": 1,
+        "ERROR": 1,
+    }
