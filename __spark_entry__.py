@@ -889,6 +889,17 @@ def q_ann_ivf_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): exact
+    integer encode/ADC over deterministic codebooks, shortlist, exact
+    cosine re-rank — the memory-compression scale path, value-checked
+    end-to-end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_topk(
+        emb, emb.where(F.expr(_ANN_QUERY_FILTER)), k=5
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_near_dups(emb, threshold=0.2)
@@ -1120,6 +1131,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lsh", q_ann_lsh(spark, sf_dir)),
             ("lsh_rerank", q_ann_lsh_rerank(spark, sf_dir)),
             ("ivf_pivots", q_ann_ivf_pivots(spark, sf_dir)),
+            ("pq", q_ann_pq(spark, sf_dir)),
         ]
     )
 
@@ -1639,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pivots": similarity.ivf_topk_pivots_oracle_sql(
             _ANN_QUERY_FILTER, k=5
         ),
+        "ann_pq": similarity.pq_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
         "embedding_near_dups": similarity.embedding_near_dups_oracle_sql(
             threshold=0.2
         ),
@@ -1855,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
                 ("lsh", _proj_ann(leaf["ann_lsh"])),
                 ("lsh_rerank", _proj_ann(leaf["ann_lsh_rerank"])),
                 ("ivf_pivots", _proj_ann(leaf["ann_ivf_pivots"])),
+                ("pq", _proj_ann(leaf["ann_pq"])),
             ]
         ),
         "doc_signatures": (

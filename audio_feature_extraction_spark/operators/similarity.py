@@ -903,3 +903,202 @@ def embedding_near_dups_oracle_sql(
         f"JOIN {from_clause} eb ON c.id_b = eb.vec_id "
         f"WHERE {cos} >= {threshold}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN path
+# ---------------------------------------------------------------------------
+# At 10^9+ vectors the embedding column itself is the bottleneck: dim
+# float64s/row do not fit executor memory or scan budgets. PQ stores m
+# small codes per vector (m bytes at codes<=256) and scores candidates
+# against a per-query lookup table, fetching full vectors only for the
+# shortlist that survives. Everything here is EXACT integer arithmetic
+# over the engine's deterministic int8-style quantization
+# (quantized_vec_sql), with deterministic codebooks (the `codes`
+# lowest-id vectors' subvectors — same one-step-k-medoids trick as
+# ivf_topk_pivots), so the whole query has a DuckDB value oracle.
+
+
+def _int_sqdist_terms(a: str, b: str, off: str, n: int, spark: bool) -> str:
+    """Exact integer squared distance between a[off+1..off+n] and
+    b[off+1..off+n] (off is an SQL expression, may reference lambda
+    vars)."""
+    if spark:
+        return (
+            f"aggregate(sequence(1, {n}), cast(0 as bigint), (acc, ii) -> "
+            f"acc + (element_at({a}, {off} + ii) - element_at({b}, {off} + ii)) "
+            f"* (element_at({a}, {off} + ii) - element_at({b}, {off} + ii)))"
+        )
+    return (
+        f"list_sum(list_transform(range(1, {n} + 1), ii -> "
+        f"({a}[{off} + ii] - {b}[{off} + ii]) * "
+        f"({a}[{off} + ii] - {b}[{off} + ii])))"
+    )
+
+
+def _pq_enc_expr(j: int, dsub: int, spark: bool, qv: str = "qv") -> str:
+    """Code for subspace ``j``: argmin over the codebook of the integer
+    squared distance, ties to the lowest pivot index."""
+    if spark:
+        d = _int_sqdist_terms(qv, "cb.c", str(j * dsub), dsub, True)
+        return (
+            f"element_at(array_sort(transform(_cb, cb -> "
+            f"struct({d} as d, cb.i as i))), 1).i"
+        )
+    d = _int_sqdist_terms(qv, "cb.c", str(j * dsub), dsub, False)
+    return (
+        f"(list_sort(list_transform(_cb, cb -> "
+        f"struct_pack(d := {d}, i := cb.i)))[1]).i"
+    )
+
+
+def _pq_adc_expr(m: int, dsub: int, spark: bool) -> str:
+    """Asymmetric distance: sum over subspaces of the exact integer
+    squared distance between the query's quantized subvector and the
+    vector's ASSIGNED CENTROID subvector (codes -> codebook lookup)."""
+    if spark:
+        inner = _int_sqdist_terms(
+            "q_qv",
+            "element_at(_cb, element_at(codes, j + 1) + 1).c",
+            f"j * {dsub}",
+            dsub,
+            True,
+        )
+        return (
+            f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), "
+            f"(acc, j) -> acc + {inner})"
+        )
+    inner = _int_sqdist_terms(
+        "q_qv", "_cb[codes[j + 1] + 1].c", f"j * {dsub}", dsub, False
+    )
+    return f"list_sum(list_transform(range(0, {m}), j -> {inner}))"
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 16,
+    codes: int = 32,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN: encode -> ADC shortlist -> exact-cosine re-rank.
+
+    Plan shape: quantization and encoding are per-row expressions over a
+    broadcast codebook (zero shuffle); the scoring pass touches only
+    (id, m codes) — the compressed table — against broadcast queries;
+    full vectors are joined back ONLY for the per-query ``shortlist``
+    (the memory story: at 10^12 vectors the codes table is ~m bytes/row
+    vs 8*dim, and the wide scan is deferred to shortlist*|Q| rows).
+    Deterministic tie-breaks ((adc, id), then (cosine desc, id)) keep
+    the whole funnel oracle-checkable.
+    """
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    base = emb.select(
+        id_col, F.expr(quantized_vec_sql(dim, spark=True, vec=vec_col)).alias("qv")
+    )
+    cb = F.broadcast(
+        base.where(F.col(id_col) < codes).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).cast("int").alias("i"),
+                        F.col("qv").alias("c"),
+                    )
+                )
+            ).alias("_cb")
+        )
+    )
+    encoded = (
+        base.crossJoin(cb)
+        .withColumn(
+            "codes",
+            F.array(
+                *[F.expr(_pq_enc_expr(j, dsub, spark=True)) for j in range(m)]
+            ),
+        )
+        .select(id_col, "codes", "_cb")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(quantized_vec_sql(dim, spark=True, vec=vec_col)).alias("q_qv"),
+    )
+    pairs = (
+        encoded.join(F.broadcast(q), F.col("query_id") != F.col(id_col))
+        .withColumn("adc", F.expr(_pq_adc_expr(m, dsub, spark=True)))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc")
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    short = (
+        pairs.withColumn("_rn", F.row_number().over(w_short))
+        .where(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: fetch full vectors for the shortlist only
+    ev = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    qv_full = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    scored = (
+        short.join(ev, "neighbor_id")
+        .join(qv_full, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(cosine_expr("nvec", "qvec", spark=True)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def pq_topk_oracle_sql(
+    query_filter: str,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 16,
+    codes: int = 32,
+    shortlist: int = 64,
+    from_clause: str = "embeddings",
+) -> str:
+    dsub = dim // m
+    enc = ", ".join(
+        _pq_enc_expr(j, dsub, spark=False) for j in range(m)
+    )
+    cos = cosine_expr("ev.embedding", "qf.embedding", spark=False)
+    return (
+        f"WITH qe AS (SELECT vec_id, "
+        f"{quantized_vec_sql(dim, spark=False)} AS qv FROM {from_clause}), "
+        f"cbt AS (SELECT list(struct_pack(i := CAST(vec_id AS INTEGER), "
+        f"c := qv) ORDER BY vec_id) AS _cb FROM qe WHERE vec_id < {codes}), "
+        f"enc AS (SELECT vec_id, [{enc}] AS codes FROM qe CROSS JOIN cbt), "
+        f"qq AS (SELECT vec_id AS query_id, qv AS q_qv FROM qe "
+        f"WHERE {query_filter}), "
+        f"pairs AS (SELECT qq.query_id, e.vec_id AS neighbor_id, "
+        f"{_pq_adc_expr(m, dsub, spark=False)} AS adc "
+        f"FROM enc e CROSS JOIN cbt CROSS JOIN qq "
+        f"WHERE e.vec_id != qq.query_id), "
+        f"short AS (SELECT query_id, neighbor_id FROM (SELECT *, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) "
+        f"AS _rn FROM pairs) _s WHERE _rn <= {shortlist}), "
+        f"scored AS (SELECT s.query_id, s.neighbor_id, {cos} AS cosine "
+        f"FROM short s JOIN {from_clause} ev ON s.neighbor_id = ev.vec_id "
+        f"JOIN {from_clause} qf ON s.query_id = qf.vec_id) "
+        f"SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine "
+        f"FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) _r "
+        f"WHERE rank <= {k}"
+    )

@@ -596,3 +596,76 @@ def test_strip_duplicate_spans_rewrites_tokens(spark):
     assert out["b"] == ([4], 1, 4)
     assert out["short"] == ([5], 1, 0)
     assert out["empty"] == ([], 0, 0)
+
+
+def test_pq_topk_recall_and_exactness(spark):
+    """Product quantization: (a) with shortlist >= corpus the exact
+    re-rank makes PQ IDENTICAL to brute force (the funnel never
+    invents neighbors, it only prunes); (b) at the default shortlist
+    the recall floor holds even on structureless random embeddings —
+    the PQ worst case (real embedding clusters quantize far better)."""
+    from audio_feature_extraction_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id % 20 = 0")
+    bf = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+
+    full = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.pq_topk(emb, q, k=5, shortlist=10_000).collect()
+    }
+    assert full == bf
+
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(emb, q, k=5).collect()
+    }
+    bf_pairs = {(a, c) for a, _b, c in bf}
+    recall = len(pq & bf_pairs) / len(bf_pairs)
+    assert recall >= 0.7, recall
+
+
+def test_pq_codes_are_compact_and_deterministic(spark):
+    """The compressed representation: m small integer codes per vector,
+    identical across runs (deterministic codebooks, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from audio_feature_extraction_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40)
+    base = emb.select(
+        "vec_id",
+        F.expr(similarity.quantized_vec_sql(64, spark=True)).alias("qv"),
+    )
+    cb = F.broadcast(
+        base.where("vec_id < 32").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").cast("int").alias("i"),
+                        F.col("qv").alias("c"),
+                    )
+                )
+            ).alias("_cb")
+        )
+    )
+    enc = base.crossJoin(cb).withColumn(
+        "codes",
+        F.array(
+            *[
+                F.expr(similarity._pq_enc_expr(j, 4, spark=True))
+                for j in range(16)
+            ]
+        ),
+    )
+    rows = {r.vec_id: list(r.codes) for r in enc.collect()}
+    again = {r.vec_id: list(r.codes) for r in enc.collect()}
+    assert rows == again and len(rows) == 40
+    for codes in rows.values():
+        assert len(codes) == 16
+        assert all(0 <= c < 32 for c in codes)
+    # a pivot vector's nearest centroid in every subspace is itself
+    assert rows[0] == [0] * 16
