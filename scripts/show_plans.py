@@ -15,7 +15,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from audio_feature_extraction_spark.core.config import FrameSpec  # noqa: E402
 from audio_feature_extraction_spark.core.session import get_spark  # noqa: E402
 from audio_feature_extraction_spark.operators import (  # noqa: E402
-    asof, framing, inverse, sessionize,
+    asof, dedup, framing, inverse, sessionize, textclean,
 )
 from audio_feature_extraction_spark.sources.tokens import (  # noqa: E402
     load_token_sequences,
@@ -40,6 +40,10 @@ def main() -> None:
             ev.where(F.col("event_type").isin("click", "purchase")),
         ),
         "sessionize": sessionize.session_summary(ev),
+        "duplicate_gram_spans (hash-prefiltered)": dedup.duplicate_gram_spans(ts),
+        "text_scrub (zero-exchange narrow map)": textclean.scrub_text(
+            spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        ),
     }
     for name, df in plans.items():
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
