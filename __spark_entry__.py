@@ -1045,12 +1045,22 @@ def q_mel_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_asof_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: single-window and segmented-scan (skew) as-of against the SAME
-    oracle — hard equivalence of both physical shapes."""
+    """J5: single-window, segmented-scan (skew) and range-partitioned
+    sort-merge (the north star's literal repartitionByRange shape,
+    operators/asof.asof_join_range) as-of against the SAME oracle —
+    hard equivalence of all three physical shapes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pr = ev.where(F.expr(_PROBE_FILTER))
+    st = ev.where(F.expr(_STATE_FILTER))
+    sel = ["user_id", "event_id", "ts", "asof_value", "asof_ts"]
     return _variant_union(
         [
             ("window", q_asof_join(spark, sf_dir)),
             ("bucketed", q_asof_join_bucketed(spark, sf_dir)),
+            (
+                "range",
+                asof.asof_join_range(pr, st, num_partitions=8).select(*sel),
+            ),
         ]
     )
 
@@ -1837,6 +1847,7 @@ def oracle_sql() -> dict[str, str]:
             [
                 ("window", leaf["asof_join"]),
                 ("bucketed", leaf["asof_join_bucketed"]),
+                ("range", leaf["asof_join"]),
             ]
         ),
         "asof_join_modes": _variant_union_sql(

@@ -516,3 +516,249 @@ def asof_oracle_sql(
         f"FROM pr ASOF LEFT JOIN std "
         f"ON pr.{entity} = std.{entity} AND pr.ts >= std.ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# range-partitioned sort-merge variant (the north star's literal shape)
+# ---------------------------------------------------------------------------
+
+def asof_join_range(
+    probes: DataFrame,
+    states: DataFrame,
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    strict: bool = False,
+    max_staleness_seconds: float | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """As-of join as a sort-merge over ``repartitionByRange``'d,
+    timestamp-ordered partitions — the north star's literal physical
+    shape, semantically identical to :func:`asof_join` (same inclusive/
+    strict boundary, max-seq tie-break, null-state transparency, TTL).
+
+    Why a third shape: the window variant hash-exchanges on the entity;
+    this one RANGE-partitions on (entity, ts), which keeps output in
+    global (entity, ts) order (free downstream merge/write locality) and
+    gives the planner evenly-sized sorted runs even when entity
+    cardinality is tiny. An entity's run may span partition boundaries,
+    so the carry is completed with the classic two-pass parallel scan:
+
+    1. pass A summarizes each sorted partition (its LAST entity's latest
+       and latest-strictly-earlier non-null states) — one tiny row per
+       partition, combined on the driver in O(P);
+    2. pass B re-walks the same persisted partitions with the combined
+       carry-in broadcast, serving every probe locally.
+
+    Only the partition's last entity can continue into the next
+    partition, so the summary is O(1) per partition regardless of
+    entity count; equal-(entity, ts) rows split across a boundary are
+    handled by (ts, seq) max-merging, and strict mode by carrying the
+    latest STRICTLY-EARLIER state alongside. The persisted sorted run
+    pins partition identity between the passes (at cluster scale,
+    write the run to parquet scratch instead — the
+    connected_components durable-checkpoint pattern).
+    """
+    import pandas as pd
+
+    spark = probes.sparkSession
+    state_tag, probe_tag = (0, 1) if not strict else (1, 0)
+    carry_cols = [
+        c for c in probes.columns
+        if c not in (entity, ts_col, seq_col, value_col)
+    ]
+    pr_schema = dict(zip(probes.schema.names, probes.schema.fields))
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    st_tagged = states.select(
+        F.col(entity).alias("_e"),
+        micros.alias("_tsu"),
+        F.lit(state_tag).alias("_tag"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.col(value_col).cast("double").alias("_v"),
+        *[F.lit(None).cast(pr_schema[c].dataType).alias(c) for c in carry_cols],
+    )
+    pr_tagged = probes.select(
+        F.col(entity).alias("_e"),
+        micros.alias("_tsu"),
+        F.lit(probe_tag).alias("_tag"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.lit(None).cast("double").alias("_v"),
+        *[F.col(c) for c in carry_cols],
+    )
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        st_tagged.unionByName(pr_tagged)
+        .repartitionByRange(P, "_e", "_tsu")
+        .sortWithinPartitions("_e", "_tsu", "_tag", "_seq")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        # itertuples mangles column names that start with "_", so both
+        # kernels walk positional tuples via a column-index map
+        cols = part.columns
+        I = {c: i for i, c in enumerate(cols)}
+        ie, itsu, itag, iseq, iv, ipid = (
+            I["_e"], I["_tsu"], I["_tag"], I["_seq"], I["_v"], I["_pid"],
+        )
+        icarry = [I[c] for c in carry_cols]
+
+        # ---- pass A: per-partition summary of the LAST entity's carry
+        def summarize(batches):
+            last_e = None
+            last = None   # (v, tsu, seq) latest non-null state
+            prev = None   # latest state with tsu strictly < last.tsu
+            pid = None
+            seen = False
+            for pdf in batches:
+                for row in pdf.itertuples(index=False, name=None):
+                    seen = True
+                    pid = row[ipid]
+                    if row[ie] != last_e:
+                        last_e, last, prev = row[ie], None, None
+                    v = row[iv]
+                    if row[itag] == state_tag and v is not None and not (
+                        isinstance(v, float) and pd.isna(v)
+                    ):
+                        cand = (float(v), int(row[itsu]), int(row[iseq]))
+                        if last is None:
+                            last = cand
+                        elif cand[1] > last[1]:
+                            prev, last = last, cand
+                        elif cand[1] == last[1] and cand[2] >= last[2]:
+                            last = cand
+            if seen:
+                yield pd.DataFrame(
+                    [
+                        (
+                            int(pid),
+                            last_e,
+                            *(last or (None, None, None)),
+                            *(prev or (None, None, None)),
+                        )
+                    ],
+                    columns=[
+                        "pid", "e", "lv", "lt", "ls", "pv", "pt", "ps",
+                    ],
+                )
+
+        e_type = part.schema["_e"].dataType.simpleString()
+        summaries = sorted(
+            part.mapInPandas(
+                summarize,
+                schema=(
+                    f"pid int, e {e_type}, lv double, lt long, ls long, "
+                    f"pv double, pt long, ps long"
+                ),
+            ).collect(),
+            key=lambda r: r.pid,
+        )
+
+        # ---- driver combine: O(P) chain of (entity, last, prev)
+        def _merge(cands):
+            cands = [c for c in cands if c is not None]
+            if not cands:
+                return None, None
+            new_last = max(cands, key=lambda c: (c[1], c[2]))
+            earlier = [c for c in cands if c[1] < new_last[1]]
+            new_prev = max(earlier, key=lambda c: (c[1], c[2])) if earlier else None
+            return new_last, new_prev
+
+        carry_in: dict[int, tuple] = {}
+        run_e, run_last, run_prev = None, None, None
+        for s in summaries:
+            if run_e is not None:
+                carry_in[s.pid] = (run_e, run_last, run_prev)
+            s_last = (s.lv, s.lt, s.ls) if s.lt is not None else None
+            s_prev = (s.pv, s.pt, s.ps) if s.pt is not None else None
+            if s.e == run_e:
+                run_last, run_prev = _merge([run_last, run_prev, s_last, s_prev])
+            else:
+                run_e, run_last, run_prev = s.e, s_last, s_prev
+
+        bc = spark.sparkContext.broadcast(carry_in)
+        ttl_us = (
+            int(max_staleness_seconds * 1_000_000)
+            if max_staleness_seconds is not None
+            else None
+        )
+
+        # ---- pass B: serve probes with the carry-in applied
+        carry_types = {c: pr_schema[c].dataType.simpleString() for c in carry_cols}
+        out_schema = ", ".join(
+            [f"{entity} {e_type}", f"{seq_col} long", f"{ts_col} timestamp"]
+            + [f"{c} {carry_types[c]}" for c in carry_cols]
+            + ["asof_value double", "asof_ts timestamp"]
+        )
+
+        def serve(batches):
+            init = None
+            cur_e, last, prev = None, None, None
+            started = False
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False, name=None):
+                    if not started:
+                        init = bc.value.get(int(row[ipid]))
+                        started = True
+                    if row[ie] != cur_e:
+                        cur_e, last, prev = row[ie], None, None
+                        if init is not None and init[0] == row[ie]:
+                            last, prev = init[1], init[2]
+                            init = None  # applies to the leading entity only
+                    if row[itag] == state_tag:
+                        v = row[iv]
+                        if v is None or (
+                            isinstance(v, float) and pd.isna(v)
+                        ):
+                            continue  # transparent null state
+                        cand = (float(v), int(row[itsu]), int(row[iseq]))
+                        if last is None:
+                            last = cand
+                        elif cand[1] > last[1]:
+                            prev, last = last, cand
+                        elif cand[1] == last[1] and cand[2] >= last[2]:
+                            last = cand
+                        continue
+                    # probe
+                    tsu = int(row[itsu])
+                    served = last
+                    if strict and served is not None and served[1] >= tsu:
+                        served = prev if prev is not None and prev[1] < tsu else None
+                    if (
+                        served is not None
+                        and ttl_us is not None
+                        and tsu - served[1] > ttl_us
+                    ):
+                        served = None
+                    out.append(
+                        (
+                            row[ie],
+                            int(row[iseq]),
+                            pd.Timestamp(tsu * 1000, unit="ns"),
+                            *[row[ci] for ci in icarry],
+                            served[0] if served is not None else None,
+                            pd.Timestamp(served[1] * 1000, unit="ns")
+                            if served is not None
+                            else pd.NaT,
+                        )
+                    )
+                if out:
+                    yield pd.DataFrame(
+                        out,
+                        columns=[entity, seq_col, ts_col]
+                        + carry_cols
+                        + ["asof_value", "asof_ts"],
+                    )
+
+        result = part.mapInPandas(serve, schema=out_schema)
+        # materialize before unpersist would be caller-hostile; instead
+        # hand back the lazy result — the persist is released when the
+        # session ends or the caller calls unpersist on its lineage. At
+        # bench/test scale this is fine; the parquet-scratch mode is the
+        # documented cluster path.
+        return result
+    except Exception:
+        part.unpersist()
+        raise

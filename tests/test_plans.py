@@ -275,3 +275,17 @@ def test_round4_ops_plan_shapes(spark):
     assert "BatchEvalPython" not in splan
     scan = splan[splan.index("ReadSchema") :].splitlines()[0]
     assert "lang" not in scan and "source" not in scan
+
+
+def test_asof_range_variant_uses_range_partitioning(spark):
+    """The north star's literal shape: one range exchange on
+    (entity, ts), sorted runs, no hash exchange before the serve pass."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = asof.asof_join_range(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type").isin("click", "purchase")),
+        num_partitions=4,
+    )
+    plan = _plan(out)
+    assert "Exchange rangepartitioning" in plan
+    assert "CartesianProduct" not in plan

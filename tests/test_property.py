@@ -191,6 +191,12 @@ def test_asof_window_bucketed_duckdb_equivalence(spark, scenario):
         asof.asof_join_bucketed(probes, states, bucket, strict=strict,
                                 max_staleness_seconds=ttl)
     )
+    # range-partitioned sort-merge, few partitions so entity runs SPAN
+    # boundaries (exercises the two-pass carry + strict/tie handling)
+    rng = collect(
+        asof.asof_join_range(probes, states, strict=strict,
+                             max_staleness_seconds=ttl, num_partitions=3)
+    )
 
     # DuckDB native ASOF oracle (strict -> '>' ordering condition);
     # engine-side extras applied the same way the engine defines them:
@@ -222,7 +228,7 @@ def test_asof_window_bucketed_duckdb_equivalence(spark, scenario):
             av, ats = None, None
         duck[seq] = (av, ats)
 
-    assert win == buck == duck
+    assert win == buck == rng == duck
 
 
 # ---------------------------------------------------------------------------
