@@ -1089,6 +1089,18 @@ def q_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *sel
                 ),
             ),
+            (
+                "ttl_range",
+                asof.asof_join_range(
+                    pr, st, max_staleness_seconds=21600.0, num_partitions=8
+                ).select(*sel),
+            ),
+            (
+                "strict_range",
+                asof.asof_join_range(
+                    pr, st, strict=True, num_partitions=8
+                ).select(*sel),
+            ),
         ]
     )
 
@@ -1856,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
                 ("strict", leaf["asof_join_strict"]),
                 ("ttl_bucketed", leaf["asof_join_ttl"]),
                 ("strict_bucketed", leaf["asof_join_strict"]),
+                ("ttl_range", leaf["asof_join_ttl"]),
+                ("strict_range", leaf["asof_join_strict"]),
             ]
         ),
         "asof_multi": leaf["asof_multi"],
