@@ -604,35 +604,75 @@ def asof_join_range(
         )
         icarry = [I[c] for c in carry_cols]
 
+        def _merge_carry(cands):
+            """(last, prev) from candidate (v, tsu, seq) states: last =
+            max by (tsu, seq); prev = max among strictly-earlier-ts."""
+            cands = [c for c in cands if c is not None]
+            if not cands:
+                return None, None
+            new_last = max(cands, key=lambda c: (c[1], c[2]))
+            earlier = [c for c in cands if c[1] < new_last[1]]
+            new_prev = (
+                max(earlier, key=lambda c: (c[1], c[2])) if earlier else None
+            )
+            return new_last, new_prev
+
+        def _batch_arrays(pdf):
+            import numpy as np
+
+            e = pdf.iloc[:, ie].to_numpy()
+            tsu = pdf.iloc[:, itsu].to_numpy().astype(np.int64)
+            tag = pdf.iloc[:, itag].to_numpy()
+            seq = pdf.iloc[:, iseq].to_numpy().astype(np.int64)
+            v = pdf.iloc[:, iv].astype("float64").to_numpy()
+            n = len(pdf)
+            arange = np.arange(n)
+            new_seg = np.empty(n, dtype=bool)
+            new_seg[0] = True
+            new_seg[1:] = e[1:] != e[:-1]
+            seg_start = np.maximum.accumulate(np.where(new_seg, arange, 0))
+            is_state = (tag == state_tag) & ~np.isnan(v)
+            return e, tsu, tag, seq, v, arange, seg_start, is_state
+
+        def _tail_update(run, e, tsu, seq, v, seg_start, is_state):
+            """Fold a batch's FINAL entity segment into the running
+            (entity, last, prev) carry chain."""
+            import numpy as np
+
+            last_e = e[-1]
+            if run is not None and run[0] != last_e:
+                run = None
+            cands = [run[1], run[2]] if run is not None else []
+            st_idx = np.where(is_state & (seg_start == seg_start[-1]))[0]
+            if len(st_idx):
+                li = int(st_idx[-1])
+                cands.append((float(v[li]), int(tsu[li]), int(seq[li])))
+                earlier = st_idx[tsu[st_idx] < tsu[li]]
+                if len(earlier):
+                    pi = int(earlier[-1])
+                    cands.append((float(v[pi]), int(tsu[pi]), int(seq[pi])))
+            new_last, new_prev = _merge_carry(cands)
+            return (last_e, new_last, new_prev)
+
         # ---- pass A: per-partition summary of the LAST entity's carry
+        # (vectorized: only each batch's final entity segment is folded)
         def summarize(batches):
-            last_e = None
-            last = None   # (v, tsu, seq) latest non-null state
-            prev = None   # latest state with tsu strictly < last.tsu
+            run = None
             pid = None
-            seen = False
             for pdf in batches:
-                for row in pdf.itertuples(index=False, name=None):
-                    seen = True
-                    pid = row[ipid]
-                    if row[ie] != last_e:
-                        last_e, last, prev = row[ie], None, None
-                    v = row[iv]
-                    if row[itag] == state_tag and v is not None and not (
-                        isinstance(v, float) and pd.isna(v)
-                    ):
-                        cand = (float(v), int(row[itsu]), int(row[iseq]))
-                        if last is None:
-                            last = cand
-                        elif cand[1] > last[1]:
-                            prev, last = last, cand
-                        elif cand[1] == last[1] and cand[2] >= last[2]:
-                            last = cand
-            if seen:
+                if not len(pdf):
+                    continue
+                pid = int(pdf.iloc[0, ipid])
+                e, tsu, _tag, seq, v, _ar, seg_start, is_state = (
+                    _batch_arrays(pdf)
+                )
+                run = _tail_update(run, e, tsu, seq, v, seg_start, is_state)
+            if run is not None:
+                last_e, last, prev = run
                 yield pd.DataFrame(
                     [
                         (
-                            int(pid),
+                            pid,
                             last_e,
                             *(last or (None, None, None)),
                             *(prev or (None, None, None)),
@@ -656,15 +696,6 @@ def asof_join_range(
         )
 
         # ---- driver combine: O(P) chain of (entity, last, prev)
-        def _merge(cands):
-            cands = [c for c in cands if c is not None]
-            if not cands:
-                return None, None
-            new_last = max(cands, key=lambda c: (c[1], c[2]))
-            earlier = [c for c in cands if c[1] < new_last[1]]
-            new_prev = max(earlier, key=lambda c: (c[1], c[2])) if earlier else None
-            return new_last, new_prev
-
         carry_in: dict[int, tuple] = {}
         run_e, run_last, run_prev = None, None, None
         for s in summaries:
@@ -673,7 +704,9 @@ def asof_join_range(
             s_last = (s.lv, s.lt, s.ls) if s.lt is not None else None
             s_prev = (s.pv, s.pt, s.ps) if s.pt is not None else None
             if s.e == run_e:
-                run_last, run_prev = _merge([run_last, run_prev, s_last, s_prev])
+                run_last, run_prev = _merge_carry(
+                    [run_last, run_prev, s_last, s_prev]
+                )
             else:
                 run_e, run_last, run_prev = s.e, s_last, s_prev
 
@@ -692,65 +725,88 @@ def asof_join_range(
             + ["asof_value double", "asof_ts timestamp"]
         )
 
+        # ---- pass B: vectorized carry scan per batch. The in-batch carry
+        # index is a segmented forward-fill (maximum.accumulate of state
+        # row indices, invalidated before each entity's segment start);
+        # the tag ordering already encodes the inclusive/strict boundary
+        # for in-batch serves, so only the cross-batch/-partition carry
+        # needs the scalar tie handling on each batch's LEADING segment.
         def serve(batches):
-            init = None
-            cur_e, last, prev = None, None, None
-            started = False
+            import numpy as np
+
+            run = None
+            first_batch = True
             for pdf in batches:
-                out = []
-                for row in pdf.itertuples(index=False, name=None):
-                    if not started:
-                        init = bc.value.get(int(row[ipid]))
-                        started = True
-                    if row[ie] != cur_e:
-                        cur_e, last, prev = row[ie], None, None
-                        if init is not None and init[0] == row[ie]:
-                            last, prev = init[1], init[2]
-                            init = None  # applies to the leading entity only
-                    if row[itag] == state_tag:
-                        v = row[iv]
-                        if v is None or (
-                            isinstance(v, float) and pd.isna(v)
-                        ):
-                            continue  # transparent null state
-                        cand = (float(v), int(row[itsu]), int(row[iseq]))
-                        if last is None:
-                            last = cand
-                        elif cand[1] > last[1]:
-                            prev, last = last, cand
-                        elif cand[1] == last[1] and cand[2] >= last[2]:
-                            last = cand
-                        continue
-                    # probe
-                    tsu = int(row[itsu])
-                    served = last
-                    if strict and served is not None and served[1] >= tsu:
-                        served = prev if prev is not None and prev[1] < tsu else None
+                if not len(pdf):
+                    continue
+                if first_batch:
+                    run = bc.value.get(int(pdf.iloc[0, ipid]))
+                    first_batch = False
+                e, tsu, tag, seq, v, arange, seg_start, is_state = (
+                    _batch_arrays(pdf)
+                )
+                idx = np.where(is_state, arange, -1)
+                ff = np.maximum.accumulate(idx)
+                has = ff >= seg_start
+                ffs = np.where(has, ff, 0)
+                out_v = np.where(has, v[ffs], np.nan)
+                out_t = np.where(has, tsu[ffs], np.int64(-1))
+
+                # cross-batch carry: the leading segment only
+                if run is not None and run[0] == e[0] and run[1] is not None:
+                    lv, lt, ls = run[1]
+                    lead = seg_start == 0
+                    no_state = lead & ~has
+                    out_v = np.where(no_state, lv, out_v)
+                    out_t = np.where(no_state, lt, out_t)
+                    # boundary tie: equal-ts state split across batches,
+                    # the carried one has the higher seq
+                    tie = lead & has & (out_t == lt) & (seq[ffs] < ls)
+                    out_v = np.where(tie, lv, out_v)
+
+                probes_mask = tag == probe_tag
+                if strict:
+                    # in-batch serves are strictly earlier by tag order;
+                    # only a carried equal-ts state can violate
+                    viol = probes_mask & (out_t >= 0) & (out_t >= tsu)
                     if (
-                        served is not None
-                        and ttl_us is not None
-                        and tsu - served[1] > ttl_us
+                        run is not None
+                        and run[0] == e[0]
+                        and run[2] is not None
                     ):
-                        served = None
-                    out.append(
-                        (
-                            row[ie],
-                            int(row[iseq]),
-                            pd.Timestamp(tsu * 1000, unit="ns"),
-                            *[row[ci] for ci in icarry],
-                            served[0] if served is not None else None,
-                            pd.Timestamp(served[1] * 1000, unit="ns")
-                            if served is not None
-                            else pd.NaT,
+                        pv_, pt_, _ps = run[2]
+                        usable = viol & (seg_start == 0) & (pt_ < tsu)
+                        out_v = np.where(usable, pv_, out_v)
+                        out_t = np.where(usable, pt_, out_t)
+                        viol &= ~usable
+                    out_v = np.where(viol, np.nan, out_v)
+                    out_t = np.where(viol, np.int64(-1), out_t)
+                if ttl_us is not None:
+                    stale = (out_t >= 0) & (tsu - out_t > ttl_us)
+                    out_v = np.where(stale, np.nan, out_v)
+                    out_t = np.where(stale, np.int64(-1), out_t)
+
+                pm = probes_mask
+                if pm.any():
+                    served_t = out_t[pm]
+                    data = {
+                        entity: e[pm],
+                        seq_col: seq[pm],
+                        ts_col: pd.to_datetime(tsu[pm] * 1000),
+                    }
+                    for c, ci in zip(carry_cols, icarry):
+                        data[c] = pdf.iloc[:, ci].to_numpy()[pm]
+                    data["asof_value"] = out_v[pm]
+                    data["asof_ts"] = pd.to_datetime(
+                        np.where(
+                            served_t >= 0,
+                            served_t * 1000,
+                            np.iinfo(np.int64).min,  # NaT
                         )
                     )
-                if out:
-                    yield pd.DataFrame(
-                        out,
-                        columns=[entity, seq_col, ts_col]
-                        + carry_cols
-                        + ["asof_value", "asof_ts"],
-                    )
+                    yield pd.DataFrame(data)
+
+                run = _tail_update(run, e, tsu, seq, v, seg_start, is_state)
 
         result = part.mapInPandas(serve, schema=out_schema)
         # materialize before unpersist would be caller-hostile; instead

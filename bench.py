@@ -185,6 +185,14 @@ def run_queries(
     # hard-coded bucketed variant was the wrong shape for this input; the
     # skew regime where bucketed wins is exercised by scripts/skew_demo.py)
     timed("asof_join_auto", lambda: _noop(asof.asof_join_auto(probes, states)))
+    # the range-partitioned two-pass scan (north-star literal shape):
+    # numpy segmented carry per sorted partition + driver boundary merge
+    timed(
+        "asof_join_range",
+        lambda: _noop(
+            asof.asof_join_range(probes, states, num_partitions=parallelism)
+        ),
+    )
     timed("sessionize", lambda: _noop(sessionize.session_summary(ev, 1800.0)))
     timed(
         "backfill",
