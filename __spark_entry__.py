@@ -740,10 +740,6 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(load_token_sequences(spark, sf_dir))
-
-
 _NEAR_DUP_THRESHOLD = 0.9
 
 
