@@ -889,10 +889,12 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.pq_topk): exact
     integer encode/ADC over deterministic codebooks, shortlist, exact
     cosine re-rank — the memory-compression scale path, value-checked
-    end-to-end."""
+    end-to-end. Runs the LUT KERNEL scoring path (O(m) lookups/vector),
+    which is tested bit-identical to the expression path the DuckDB
+    oracle mirrors."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.pq_topk(
-        emb, emb.where(F.expr(_ANN_QUERY_FILTER)), k=5
+        emb, emb.where(F.expr(_ANN_QUERY_FILTER)), k=5, use_kernel=True
     )
 
 

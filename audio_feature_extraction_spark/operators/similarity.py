@@ -984,6 +984,7 @@ def pq_topk(
     shortlist: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_kernel: bool = False,
 ) -> DataFrame:
     """PQ ANN: encode -> ADC shortlist -> exact-cosine re-rank.
 
@@ -1028,11 +1029,29 @@ def pq_topk(
         F.col(id_col).alias("query_id"),
         F.expr(quantized_vec_sql(dim, spark=True, vec=vec_col)).alias("q_qv"),
     )
-    pairs = (
-        encoded.join(F.broadcast(q), F.col("query_id") != F.col(id_col))
-        .withColumn("adc", F.expr(_pq_adc_expr(m, dsub, spark=True)))
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc")
-    )
+    if use_kernel:
+        # the scale scoring path: per-query (m x codes) integer LUT,
+        # O(m) lookups per vector, batch-local shortlists only
+        import numpy as np
+
+        q_rows = [(r["query_id"], r["q_qv"]) for r in q.collect()]
+        cb_sorted = sorted(
+            base.where(F.col(id_col) < codes).collect(),
+            key=lambda r: r[id_col],
+        )
+        cb_matrix = np.stack(
+            [np.asarray(r["qv"], dtype=np.int64) for r in cb_sorted]
+        )
+        pairs = pq_adc_scores_kernel(
+            encoded.drop("_cb"), q_rows, cb_matrix, m, dsub, shortlist,
+            id_col,
+        )
+    else:
+        pairs = (
+            encoded.join(F.broadcast(q), F.col("query_id") != F.col(id_col))
+            .withColumn("adc", F.expr(_pq_adc_expr(m, dsub, spark=True)))
+            .select("query_id", F.col(id_col).alias("neighbor_id"), "adc")
+        )
     w_short = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     short = (
         pairs.withColumn("_rn", F.row_number().over(w_short))
@@ -1101,4 +1120,73 @@ def pq_topk_oracle_sql(
         f"FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
         f"ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) _r "
         f"WHERE rank <= {k}"
+    )
+
+
+def pq_adc_scores_kernel(
+    encoded: DataFrame,
+    query_rows: list[tuple],
+    cb_matrix,
+    m: int,
+    dsub: int,
+    shortlist: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LUT-based ADC scoring — the scale path the expression form only
+    emulates: per query a (m x codes) integer lookup table is built ONCE
+    from its quantized subvectors, and scoring a vector is m table
+    lookups + a sum (O(m), not O(dim)). Each Arrow batch emits only its
+    local (adc, id)-ordered ``shortlist`` per query, so the exchange
+    carries partitions x queries x shortlist tiny rows, never the full
+    score matrix. Exact-integer arithmetic end to end — bit-identical
+    to the expression path (tested).
+
+    ``query_rows``: [(query_id, qv_int_list)] — broadcast-scale, same
+    assumption as every query side here. ``cb_matrix``: (codes x dim)
+    int64 numpy array of quantized pivot vectors, row i = pivot i.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qids = [q for q, _ in query_rows]
+    Q = np.stack([np.asarray(v, dtype=np.int64) for _, v in query_rows])
+    codes_n = cb_matrix.shape[0]
+    # LUT[q, j, c] = || Q[q, j*dsub:(j+1)*dsub] - cb[c, j*dsub:(j+1)*dsub] ||^2
+    Qs = Q.reshape(len(qids), m, dsub)                # (|Q|, m, dsub)
+    Cs = cb_matrix.reshape(codes_n, m, dsub)          # (codes, m, dsub)
+    diff = Qs[:, None, :, :] - Cs[None, :, :, :]      # (|Q|, codes, m, dsub)
+    lut = (diff * diff).sum(axis=3).transpose(0, 2, 1)  # (|Q|, m, codes)
+
+    id_type = dict(encoded.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )                                          # (n, m)
+            j_idx = np.arange(m)[None, :]
+            outs = []
+            for qi, qid in enumerate(qids):
+                adc = lut[qi][j_idx, C].sum(axis=1)    # (n,)
+                keep = ~(ids == qid)
+                a, i = adc[keep], ids[keep]
+                if len(a) > shortlist:
+                    part = np.argpartition(a, shortlist - 1)[:shortlist]
+                    a, i = a[part], i[part]
+                order = np.lexsort((i, a))             # (adc, id) stable
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": i[order],
+                         "adc": a[order]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return encoded.select(id_col, "codes").mapInPandas(
+        run,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, adc bigint",
     )

@@ -669,3 +669,22 @@ def test_pq_codes_are_compact_and_deterministic(spark):
         assert all(0 <= c < 32 for c in codes)
     # a pivot vector's nearest centroid in every subspace is itself
     assert rows[0] == [0] * 16
+
+
+def test_pq_kernel_path_matches_expression_path(spark):
+    """The LUT kernel (O(m) lookups per vector, batch-local shortlists)
+    must reproduce the expression path's final top-k EXACTLY — same
+    integer ADC, same (adc, id) tie-breaks, same re-ranked cosines."""
+    from audio_feature_extraction_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id % 20 = 0")
+    expr_path = {
+        tuple(r)
+        for r in similarity.pq_topk(emb, q, k=5, use_kernel=False).collect()
+    }
+    kern_path = {
+        tuple(r)
+        for r in similarity.pq_topk(emb, q, k=5, use_kernel=True).collect()
+    }
+    assert kern_path == expr_path and len(kern_path) == 125
