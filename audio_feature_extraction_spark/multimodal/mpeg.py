@@ -71,9 +71,16 @@ class Mp3Info:
     id3v1: bool
 
 
-def parse_frame_header(b: bytes, off: int = 0) -> Mp3FrameHeader | None:
-    """Decode 4 header bytes at ``off``; None if not a valid frame sync."""
-    if off + 4 > len(b):
+def parse_frame_header(
+    b: bytes, off: int = 0, end: int | None = None
+) -> Mp3FrameHeader | None:
+    """Decode 4 header bytes at ``off``; None if not a valid frame sync.
+    ``end`` bounds the readable region (exclusive) — pass it when the
+    buffer has a trailing ID3v1 tag so a sync byte within the last 3
+    bytes of audio cannot borrow tag bytes to form a bogus header."""
+    if end is None:
+        end = len(b)
+    if off + 4 > end:
         return None
     h = int.from_bytes(b[off : off + 4], "big")
     if (h >> 21) & 0x7FF != 0x7FF:
@@ -175,7 +182,7 @@ def parse_mp3(payload: bytes, max_resyncs: int = 64) -> Mp3Info:
     weighted_kbps = 0.0
 
     while pos + 4 <= end:
-        hdr = parse_frame_header(b, pos)
+        hdr = parse_frame_header(b, pos, end)
         if hdr is None:
             n_resyncs += 1
             if n_resyncs > max_resyncs:
@@ -183,7 +190,7 @@ def parse_mp3(payload: bytes, max_resyncs: int = 64) -> Mp3Info:
                     f"lost sync at byte {pos} ({max_resyncs} resyncs exceeded)"
                 )
             nxt = b.find(b"\xff", pos + 1, end)
-            while nxt != -1 and parse_frame_header(b, nxt) is None:
+            while nxt != -1 and parse_frame_header(b, nxt, end) is None:
                 nxt = b.find(b"\xff", nxt + 1, end)
             if nxt == -1:
                 break

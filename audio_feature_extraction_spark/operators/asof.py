@@ -27,6 +27,8 @@ with max-seq in both engines so tie-breaks agree).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -532,6 +534,7 @@ def asof_join_range(
     strict: bool = False,
     max_staleness_seconds: float | None = None,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """As-of join as a sort-merge over ``repartitionByRange``'d,
     timestamp-ordered partitions — the north star's literal physical
@@ -555,10 +558,28 @@ def asof_join_range(
     partition, so the summary is O(1) per partition regardless of
     entity count; equal-(entity, ts) rows split across a boundary are
     handled by (ts, seq) max-merging, and strict mode by carrying the
-    latest STRICTLY-EARLIER state alongside. The persisted sorted run
-    pins partition identity between the passes (at cluster scale,
-    write the run to parquet scratch instead — the
-    connected_components durable-checkpoint pattern).
+    latest STRICTLY-EARLIER state alongside.
+
+    Run durability — two modes, same results (tested equal):
+
+    * default (``checkpoint_dir=None``): the sorted run is
+      ``localCheckpoint``'ed eagerly — materialized once, partition
+      identity pinned for both passes, and the blocks are reclaimed by
+      the ContextCleaner when the caller drops the result (no
+      session-lifetime cache-manager leak). Right for local /
+      single-job use; checkpoint blocks do not survive an executor
+      loss — that is what the durable mode is for.
+    * ``checkpoint_dir`` (HDFS/S3/NFS path at cluster scale — the
+      :func:`connected_components` durable pattern): the sorted run is
+      written ONCE to parquet scratch under ``<dir>/asof-run``; both
+      passes re-read the durable bytes, so an executor loss between
+      pass A and pass B costs one task retry, never a silent
+      recomputation of partitions whose identity pass A's summaries
+      captured. Read-back cannot pin one-file-per-task, so rows are
+      re-grouped by the recorded partition id (``repartitionByRange``
+      on ``_pid`` keeps each pid whole) and the scan kernels are
+      pid-segment aware. The scratch is left for the lazy result's
+      read and overwritten by the next run on the same dir.
     """
     import pandas as pd
 
@@ -587,13 +608,33 @@ def asof_join_range(
         *[F.col(c) for c in carry_cols],
     )
     P = num_partitions or spark.sparkContext.defaultParallelism
-    part = (
+    sorted_run = (
         st_tagged.unionByName(pr_tagged)
         .repartitionByRange(P, "_e", "_tsu")
         .sortWithinPartitions("_e", "_tsu", "_tag", "_seq")
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
+    if checkpoint_dir is not None:
+        run_path = os.path.join(checkpoint_dir, "asof-run")
+        sorted_run.write.mode("overwrite").parquet(run_path)
+        # Read-back cannot guarantee one-file-per-task (the scan packs
+        # files by size), so re-group each recorded pid whole (equal
+        # range-partition keys share a partition) and re-sort; the
+        # kernels below handle several pids per task.
+        part = (
+            spark.read.parquet(run_path)
+            .repartitionByRange(P, "_pid")
+            .sortWithinPartitions("_pid", "_e", "_tsu", "_tag", "_seq")
+        )
+    else:
+        # Materialize the sorted run ONCE and pin its partition
+        # identity for both passes. localCheckpoint (not persist): the
+        # blocks are reclaimed by the ContextCleaner as soon as the
+        # caller drops the returned DataFrame — persist() registered a
+        # cacheManager entry that outlived every call for the session
+        # lifetime (ADVICE r04), and a fresh unpersisted recompute
+        # could re-sample different range bounds between the passes.
+        part = sorted_run.localCheckpoint(eager=True)
     try:
         # itertuples mangles column names that start with "_", so both
         # kernels walk positional tuples via a column-index map
@@ -654,30 +695,60 @@ def asof_join_range(
             new_last, new_prev = _merge_carry(cands)
             return (last_e, new_last, new_prev)
 
-        # ---- pass A: per-partition summary of the LAST entity's carry
-        # (vectorized: only each batch's final entity segment is folded)
-        def summarize(batches):
-            run = None
-            pid = None
+        def _pid_segments(batches):
+            """Yield (pid, sub_pdf) contiguous runs — one per
+            (batch, pid) stretch. On the persisted path each task is a
+            single pid (the degenerate, zero-split case); on the
+            durable read-back path a task holds several whole pids in
+            order, so both kernels walk pid segments."""
+            import numpy as np
+
             for pdf in batches:
                 if not len(pdf):
                     continue
-                pid = int(pdf.iloc[0, ipid])
+                pids = pdf.iloc[:, ipid].to_numpy()
+                cuts = np.where(pids[1:] != pids[:-1])[0] + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [len(pids)]))
+                for s, t in zip(starts, ends):
+                    sub = (
+                        pdf
+                        if s == 0 and t == len(pids)
+                        else pdf.iloc[s:t]
+                    )
+                    yield int(pids[s]), sub
+
+        # ---- pass A: per-pid summary of the LAST entity's carry
+        # (vectorized: only each batch's final entity segment is folded)
+        def summarize(batches):
+            rows = []
+            cur, run = None, None
+
+            def _close(pid, run):
+                if run is None:
+                    return
+                last_e, last, prev = run
+                rows.append(
+                    (
+                        pid,
+                        last_e,
+                        *(last or (None, None, None)),
+                        *(prev or (None, None, None)),
+                    )
+                )
+
+            for pid, pdf in _pid_segments(batches):
+                if pid != cur:
+                    _close(cur, run)
+                    cur, run = pid, None
                 e, tsu, _tag, seq, v, _ar, seg_start, is_state = (
                     _batch_arrays(pdf)
                 )
                 run = _tail_update(run, e, tsu, seq, v, seg_start, is_state)
-            if run is not None:
-                last_e, last, prev = run
+            _close(cur, run)
+            if rows:
                 yield pd.DataFrame(
-                    [
-                        (
-                            pid,
-                            last_e,
-                            *(last or (None, None, None)),
-                            *(prev or (None, None, None)),
-                        )
-                    ],
+                    rows,
                     columns=[
                         "pid", "e", "lv", "lt", "ls", "pv", "pt", "ps",
                     ],
@@ -734,14 +805,10 @@ def asof_join_range(
         def serve(batches):
             import numpy as np
 
-            run = None
-            first_batch = True
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                if first_batch:
-                    run = bc.value.get(int(pdf.iloc[0, ipid]))
-                    first_batch = False
+            cur, run = None, None
+            for pid, pdf in _pid_segments(batches):
+                if pid != cur:
+                    cur, run = pid, bc.value.get(pid)
                 e, tsu, tag, seq, v, arange, seg_start, is_state = (
                     _batch_arrays(pdf)
                 )
@@ -750,7 +817,11 @@ def asof_join_range(
                 has = ff >= seg_start
                 ffs = np.where(has, ff, 0)
                 out_v = np.where(has, v[ffs], np.nan)
-                out_t = np.where(has, tsu[ffs], np.int64(-1))
+                out_t = np.where(has, tsu[ffs], np.int64(0))
+                # Served-state mask is an explicit boolean, NOT a sign
+                # test on the timestamp — pre-epoch states (negative
+                # unix_micros) are real data, not "absent" (ADVICE r04).
+                out_has = has.copy()
 
                 # cross-batch carry: the leading segment only
                 if run is not None and run[0] == e[0] and run[1] is not None:
@@ -759,6 +830,7 @@ def asof_join_range(
                     no_state = lead & ~has
                     out_v = np.where(no_state, lv, out_v)
                     out_t = np.where(no_state, lt, out_t)
+                    out_has = out_has | no_state
                     # boundary tie: equal-ts state split across batches,
                     # the carried one has the higher seq
                     tie = lead & has & (out_t == lt) & (seq[ffs] < ls)
@@ -768,7 +840,7 @@ def asof_join_range(
                 if strict:
                     # in-batch serves are strictly earlier by tag order;
                     # only a carried equal-ts state can violate
-                    viol = probes_mask & (out_t >= 0) & (out_t >= tsu)
+                    viol = probes_mask & out_has & (out_t >= tsu)
                     if (
                         run is not None
                         and run[0] == e[0]
@@ -780,15 +852,15 @@ def asof_join_range(
                         out_t = np.where(usable, pt_, out_t)
                         viol &= ~usable
                     out_v = np.where(viol, np.nan, out_v)
-                    out_t = np.where(viol, np.int64(-1), out_t)
+                    out_has = out_has & ~viol
                 if ttl_us is not None:
-                    stale = (out_t >= 0) & (tsu - out_t > ttl_us)
+                    stale = out_has & (tsu - out_t > ttl_us)
                     out_v = np.where(stale, np.nan, out_v)
-                    out_t = np.where(stale, np.int64(-1), out_t)
+                    out_has = out_has & ~stale
 
                 pm = probes_mask
                 if pm.any():
-                    served_t = out_t[pm]
+                    served_has = out_has[pm]
                     data = {
                         entity: e[pm],
                         seq_col: seq[pm],
@@ -799,8 +871,8 @@ def asof_join_range(
                     data["asof_value"] = out_v[pm]
                     data["asof_ts"] = pd.to_datetime(
                         np.where(
-                            served_t >= 0,
-                            served_t * 1000,
+                            served_has,
+                            out_t[pm] * 1000,
                             np.iinfo(np.int64).min,  # NaT
                         )
                     )
@@ -808,13 +880,10 @@ def asof_join_range(
 
                 run = _tail_update(run, e, tsu, seq, v, seg_start, is_state)
 
-        result = part.mapInPandas(serve, schema=out_schema)
-        # materialize before unpersist would be caller-hostile; instead
-        # hand back the lazy result — the persist is released when the
-        # session ends or the caller calls unpersist on its lineage. At
-        # bench/test scale this is fine; the parquet-scratch mode is the
-        # documented cluster path.
-        return result
+        # serve is shuffle-free: a narrow mapInPandas over the pinned
+        # sorted run (checkpoint blocks or durable parquet scratch)
+        return part.mapInPandas(serve, schema=out_schema)
     except Exception:
-        part.unpersist()
+        if checkpoint_dir is None:
+            part.unpersist()
         raise

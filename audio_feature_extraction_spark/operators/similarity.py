@@ -1174,13 +1174,19 @@ def pq_adc_scores_kernel(
                 keep = ~(ids == qid)
                 a, i = adc[keep], ids[keep]
                 if len(a) > shortlist:
-                    part = np.argpartition(a, shortlist - 1)[:shortlist]
-                    a, i = a[part], i[part]
+                    # Tie-safe partial select: keep EVERYTHING at or below
+                    # the shortlist-th smallest adc (argpartition on adc
+                    # alone could drop an equal-adc, lower-id candidate at
+                    # the cut), then let the lexsort below break ties on id.
+                    part = np.argpartition(a, shortlist - 1)
+                    thresh = a[part[shortlist - 1]]
+                    tied = a <= thresh
+                    a, i = a[tied], i[tied]
                 order = np.lexsort((i, a))             # (adc, id) stable
+                a, i = a[order][:shortlist], i[order][:shortlist]
                 outs.append(
                     pd.DataFrame(
-                        {"query_id": qid, "neighbor_id": i[order],
-                         "adc": a[order]}
+                        {"query_id": qid, "neighbor_id": i, "adc": a}
                     )
                 )
             if outs:

@@ -57,8 +57,19 @@ def stream_exact_dedup(
     ) -> Iterator[pd.DataFrame]:
         keeper = state.get[0] if state.exists else None
         out = []
-        for pdf in pdfs:
-            for row in pdf.sort_values("doc_id").itertuples(index=False):
+        # Arrow may split one hash group across several chunks
+        # (maxRecordsPerBatch); sorting per-chunk would crown the FIRST
+        # chunk's min doc_id. Materialize the whole group (it is one
+        # distinct text — small by construction) and sort once so the
+        # micro-batch's GLOBAL min doc_id is the keeper.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            for row in whole.sort_values("doc_id").itertuples(index=False):
                 if keeper is None:
                     keeper = row.doc_id
                     out.append((row.doc_id, row.text, keeper))

@@ -213,3 +213,82 @@ def test_bucketed_strict_and_ttl_match_plain(spark, mode):
         ).collect()
     }
     assert buck == plain and len(plain) > 0
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{}, {"strict": True}, {"max_staleness_seconds": 1800.0}],
+    ids=["inclusive", "strict", "ttl"],
+)
+def test_range_durable_checkpoint_equals_default(spark, tmp_path, kw):
+    """asof_join_range(checkpoint_dir=...) — the durable parquet-scratch
+    mode — serves exactly what the default persisted mode (and the
+    window join) serve. Few partitions so entity runs span partition
+    boundaries, exercising the pid-segment-aware kernels on read-back
+    partitions that hold several pids."""
+    ev = _events(spark, n_hot=120, n_cold=12)
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type") == "click")
+
+    def collect(out):
+        return {r.event_id: (r.asof_value, r.asof_ts) for r in out.collect()}
+
+    win = collect(asof.asof_join(probes, states, **kw))
+    default = collect(
+        asof.asof_join_range(probes, states, num_partitions=4, **kw)
+    )
+    durable = collect(
+        asof.asof_join_range(
+            probes, states, num_partitions=4,
+            checkpoint_dir=str(tmp_path / "ck"), **kw,
+        )
+    )
+    assert default == win and durable == win and len(win) > 0
+    # the sorted run was written to durable scratch
+    assert (tmp_path / "ck" / "asof-run").exists()
+
+
+def test_range_serves_pre_epoch_states(spark):
+    """A state at a pre-1970 timestamp (negative unix_micros) is real
+    data: it must be served with its true asof_ts, honored by strict
+    mode, and aged by TTL — never treated as 'absent' by a sign test
+    on the timestamp (ADVICE r04)."""
+    t_old = dt.datetime(1969, 12, 31, 23, 0, 0)   # pre-epoch
+    t_probe = dt.datetime(1970, 1, 1, 0, 30, 0)
+    rows = [
+        (0, t_old, 1, "click", 42.0, None),
+        (1, t_probe, 1, "view", 0.0, None),
+        # entity 2: probe exactly at the pre-epoch state's ts
+        (2, t_old, 2, "click", 7.0, None),
+        (3, t_old, 2, "view", 0.0, None),
+    ]
+    ev = spark.createDataFrame(rows, schema=EVENTS)
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type") == "click")
+
+    def one(kw):
+        return {
+            r.event_id: (r.asof_value, r.asof_ts)
+            for r in asof.asof_join_range(
+                probes, states, num_partitions=2, **kw
+            ).collect()
+        }
+
+    plain = one({})
+    assert plain[1] == (42.0, t_old)
+    assert plain[3] == (7.0, t_old)          # inclusive boundary
+    strict = one({"strict": True})
+    assert strict[1] == (42.0, t_old)
+    assert strict[3] == (None, None)         # equal-ts rejected
+    ttl = one({"max_staleness_seconds": 7200.0})
+    assert ttl[1] == (42.0, t_old)           # 90 min staleness < 2 h TTL
+    tight = one({"max_staleness_seconds": 60.0})
+    assert tight[1] == (None, None)          # aged out across the epoch
+    # window variant agrees on all of it
+    for kw, want in [({}, plain), ({"strict": True}, strict),
+                     ({"max_staleness_seconds": 60.0}, tight)]:
+        win = {
+            r.event_id: (r.asof_value, r.asof_ts)
+            for r in asof.asof_join(probes, states, **kw).collect()
+        }
+        assert win == want

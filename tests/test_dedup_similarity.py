@@ -688,3 +688,33 @@ def test_pq_kernel_path_matches_expression_path(spark):
         for r in similarity.pq_topk(emb, q, k=5, use_kernel=True).collect()
     }
     assert kern_path == expr_path and len(kern_path) == 125
+
+
+def test_pq_kernel_shortlist_boundary_ties_keep_lowest_ids(spark):
+    """When equal-ADC candidates straddle the shortlist cut, the kernel
+    must keep the LOWEST neighbor_ids (the (adc, id) order the
+    expression path / oracle uses) — a partial select keyed on adc
+    alone can drop id 3 and keep id 10 (ADVICE r04)."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.operators import similarity
+
+    # codebook: pivot 0 at the origin, pivot 1 at (10, 10); every tied
+    # candidate encodes to pivot 0, so their ADC to the query is equal
+    cb = np.array([[0, 0], [10, 10]], dtype=np.int64)
+    enc = spark.createDataFrame(
+        [(1, [1]), (10, [0]), (7, [0]), (5, [0]), (3, [0])],
+        "vec_id bigint, codes array<int>",
+    ).coalesce(1)
+    out = similarity.pq_adc_scores_kernel(
+        enc,
+        query_rows=[(99, [10, 10])],
+        cb_matrix=cb,
+        m=1,
+        dsub=2,
+        shortlist=3,
+    ).collect()
+    got = sorted((r.neighbor_id, r.adc) for r in out)
+    # adc(pivot1) = 0, adc(pivot0) = 200; the 4-way tie at 200 must
+    # surface ids 3 and 5, never 7 or 10
+    assert got == [(1, 0), (3, 200), (5, 200)]

@@ -346,3 +346,22 @@ def test_mp3_rejects_unwalkable_headers():
 def test_mp3_protected_frame_flag():
     hdr = parse_frame_header(_raw_header(protection=0))
     assert hdr.protected  # protection bit 0 => CRC-16 follows
+
+
+def test_mp3_sync_in_tail_cannot_borrow_id3v1_bytes():
+    """A 0xFF sync byte within the last 3 audio bytes before a trailing
+    ID3v1 tag must NOT form a 'valid' frame by borrowing tag bytes:
+    b"\\xff\\xfb\\x90" + "TAG..." decodes as a plausible MPEG-1 L3
+    header if the walk validates against the full buffer (ADVICE r04)."""
+    id3v1 = b"TAG" + bytes(125)
+    payload = (
+        _mp3_frame() + _mp3_frame()
+        + b"\x00junk\x01"            # forces a resync scan
+        + b"\xff\xfb\x90"            # sync 3 bytes before the tag
+        + id3v1
+    )
+    info = parse_mp3(payload)
+    assert info.n_frames == 2
+    assert info.id3v1 is True
+    expected = 2 * 1152 / 44100
+    assert abs(info.duration_s - expected) < 1e-9

@@ -277,15 +277,23 @@ def test_round4_ops_plan_shapes(spark):
     assert "lang" not in scan and "source" not in scan
 
 
-def test_asof_range_variant_uses_range_partitioning(spark):
-    """The north star's literal shape: one range exchange on
-    (entity, ts), sorted runs, no hash exchange before the serve pass."""
+def test_asof_range_variant_uses_range_partitioning(spark, tmp_path):
+    """The north star's literal shape. Default mode: the sorted run is
+    checkpointed (range exchange paid inside the materialization), so
+    the SERVE pass must be a shuffle-free narrow scan of the pinned
+    run. Durable mode: the lazy result reads parquet scratch, and its
+    visible plan must carry the range exchange that re-groups pids."""
     ev = spark.read.parquet(f"{SF}/events.parquet")
-    out = asof.asof_join_range(
-        ev.where(F.col("event_type") == "view"),
-        ev.where(F.col("event_type").isin("click", "purchase")),
-        num_partitions=4,
-    )
+    probes = ev.where(F.col("event_type") == "view")
+    states = ev.where(F.col("event_type").isin("click", "purchase"))
+    out = asof.asof_join_range(probes, states, num_partitions=4)
     plan = _plan(out)
-    assert "Exchange rangepartitioning" in plan
+    assert "Exchange" not in plan          # serve = narrow over checkpoint
     assert "CartesianProduct" not in plan
+    durable = asof.asof_join_range(
+        probes, states, num_partitions=4,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    dplan = _plan(durable)
+    assert "Exchange rangepartitioning" in dplan
+    assert "CartesianProduct" not in dplan

@@ -1133,3 +1133,47 @@ def test_stream_exact_dedup_state_survives_restart(spark, tmp_path):
         q.stop()
 
     assert got == {"d0", "d1", "d3"}  # d2 dropped by pre-restart state
+
+
+def test_stream_exact_dedup_group_split_across_arrow_chunks(spark, tmp_path):
+    """applyInPandasWithState may hand one hash group to the kernel as
+    SEVERAL pandas chunks (arrow maxRecordsPerBatch); the keeper must
+    still be the micro-batch's GLOBAL min doc_id, not the first
+    chunk's local min (ADVICE r04)."""
+    from audio_feature_extraction_spark.streaming import dedup as sdedup
+
+    schema = "doc_id string, text string"
+    # one group of 6 duplicates, fed in DESCENDING id order so any
+    # per-chunk winner is wrong unless chunks are combined first
+    rows = [(f"d{i}", "same text") for i in (9, 8, 7, 6, 5, 3)]
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            sdedup.stream_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_chunks_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("select * from dedup_chunks_out").collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert [(r.doc_id, r.keeper_doc_id) for r in got] == [("d3", "d3")]
