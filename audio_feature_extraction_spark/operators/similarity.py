@@ -985,6 +985,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_kernel: bool = False,
+    max_kernel_queries: int = 10_000,
 ) -> DataFrame:
     """PQ ANN: encode -> ADC shortlist -> exact-cosine re-rank.
 
@@ -1034,7 +1035,22 @@ def pq_topk(
         # O(m) lookups per vector, batch-local shortlists only
         import numpy as np
 
-        q_rows = [(r["query_id"], r["q_qv"]) for r in q.collect()]
+        # The kernel is a SERVING path: queries are collected to the
+        # driver and broadcast into the LUT. Fail fast with guidance
+        # instead of letting an unbounded query frame OOM the driver
+        # (limit+1 probes the bound in one pushed-down pass).
+        probe = q.limit(max_kernel_queries + 1).collect()
+        if len(probe) > max_kernel_queries:
+            raise ValueError(
+                f"pq_topk(use_kernel=True) collected more than "
+                f"max_kernel_queries={max_kernel_queries} query rows; "
+                f"the LUT kernel broadcasts the query set and is meant "
+                f"for serving-scale |Q|. For bulk query frames use "
+                f"use_kernel=False (the distributed expression path), "
+                f"raise max_kernel_queries deliberately, or chunk the "
+                f"query frame and union the results."
+            )
+        q_rows = [(r["query_id"], r["q_qv"]) for r in probe]
         cb_sorted = sorted(
             base.where(F.col(id_col) < codes).collect(),
             key=lambda r: r[id_col],

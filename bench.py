@@ -226,10 +226,22 @@ def run_queries(
             ),
         )
     total = round(sum(timings.values()), 3)
+    # frozen cross-round comparison set (VERDICT r04 #7): the nine
+    # queries benched since r03. e2e_wall_sec grows as workloads are
+    # added; this subtotal stays like-for-like across rounds. Do NOT
+    # change this list — add new queries to the e2e sum only.
+    stable9 = (
+        "frame_features", "frame_features_f32", "roundtrip",
+        "asof_join", "asof_join_auto", "sessionize", "backfill",
+        "minhash_lsh_pairs", "ann_lsh",
+    )
     result = {
         "metric": "e2e_wall_sec",
         "value": total,
         "unit": "sec",
+        "e2e_stable9_sec": round(
+            sum(timings[q] for q in stable9 if q in timings), 3
+        ),
         "queries": timings,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "parallelism": parallelism,

@@ -718,3 +718,61 @@ def test_pq_kernel_shortlist_boundary_ties_keep_lowest_ids(spark):
     # adc(pivot1) = 0, adc(pivot0) = 200; the 4-way tie at 200 must
     # surface ids 3 and 5, never 7 or 10
     assert got == [(1, 0), (3, 200), (5, 200)]
+
+
+def test_pq_kernel_query_cap_fails_fast(spark):
+    """use_kernel=True collects the query frame to the driver; above
+    max_kernel_queries it must raise with guidance, not OOM the driver
+    (VERDICT r04 #5). The cap is a deliberate, overridable bound."""
+    import pytest as _pytest
+
+    from audio_feature_extraction_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.limit(8)
+    with _pytest.raises(ValueError, match="max_kernel_queries"):
+        similarity.pq_topk(
+            emb, q, k=3, use_kernel=True, max_kernel_queries=5
+        )
+    # at or under the cap the funnel runs
+    out = similarity.pq_topk(
+        emb, q.limit(3), k=3, use_kernel=True, max_kernel_queries=5
+    )
+    assert out.count() == 9
+
+
+@pytest.mark.parametrize("gather", [False, True, None])
+def test_span_shapes_agree(spark, gather):
+    """The two pass-2 physical shapes (direct full-gram explode vs
+    hash-prefiltered position gather) and the adaptive default produce
+    identical spans on a mixed input with cross-doc dups, within-doc
+    repetition, and unique docs."""
+    from audio_feature_extraction_spark.operators import dedup
+
+    rows = [
+        ("a", list(range(100, 140))),
+        ("b", list(range(100, 140))),                  # full dup of a
+        ("c", list(range(0, 8)) * 6),                  # self-repetition
+        ("d", list(range(500, 560))),                  # unique
+        ("e", list(range(110, 130)) + list(range(900, 930))),  # partial
+    ]
+    tok = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    got = {
+        (r.doc_id, r.span_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicate_gram_spans(
+            tok, k=8, min_count=2, gather=gather
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.span_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicate_gram_spans(
+            tok, k=8, min_count=2, prefilter=False
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # the partial-dup doc's span covers exactly the shared 20 tokens
+    e_spans = [(s, e) for d, _i, s, e, _n in want if d == "e"]
+    assert e_spans == [(0, 20)]
