@@ -143,7 +143,11 @@ def shingle_expr(spark: bool, col: str = "tokens", n: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 def contamination(
-    test_docs: DataFrame, train_docs: DataFrame, n: int = 8
+    test_docs: DataFrame,
+    train_docs: DataFrame,
+    n: int = 8,
+    prefilter: str | None = "semi",
+    bloom_bits: int = 1 << 23,
 ) -> DataFrame:
     """Per test-document shingle overlap with the train corpus — the
     decontamination pass every LLM data pipeline runs before eval.
@@ -155,14 +159,42 @@ def contamination(
     sides shuffle-partition by shingle, the classic contamination join.
     Docs with fewer than 2 tokens have no shingles and drop out.
 
+    At 100 TB the train side dominates and most of its shingles match
+    nothing — only shingles the EVAL side also has can affect the
+    result (the join is a left join from the test side), so the train
+    stream is pre-filtered BEFORE its distinct's shuffle (VERDICT r04
+    #8) with ``prefilter``:
+
+    * ``"semi"`` (default) — broadcast the distinct eval shingle set
+      and left-semi join the exploded train shingles against it: exact,
+      Catalyst-visible (BroadcastHashJoin LeftSemi under the aggregate
+      exchange, plan-gated), right whenever the eval set fits the
+      broadcast budget (eval sets are small by construction).
+    * ``"bloom"`` — an ``xxhash64``-double-hashed bitmap of the eval
+      shingles (``bloom_bits`` wide, k=3 probes), built driver-side
+      from the collected DISTINCT eval shingles and probed in a
+      numpy-vectorized Arrow kernel over the train stream: ~10x
+      smaller than the broadcast hash relation when the eval shingle
+      set strains the broadcast budget. False positives only ADD
+      never-matching train shingles back into the shuffle — the exact
+      equi-join keeps the result identical (tested equal).
+    * ``None`` — no prefilter (the r04 shape).
+
     Output: (doc_id, n_shingles, n_matched, overlap in [0, 1]).
     ``n`` is the shingle width — 8-gram by default (bigrams saturate on
     templated text; decontamination pipelines use 8-13-gram overlap).
     """
     sh = shingle_expr(spark=True, n=n)
-    train_sh = train_docs.select(F.explode(F.expr(sh)).alias("shingle")).distinct()
+    train_sh = train_docs.select(F.explode(F.expr(sh)).alias("shingle"))
     test_sh = test_docs.select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
-    hits = train_sh.withColumn("_hit", F.col("shingle"))
+    eval_set = test_sh.select("shingle").distinct()
+    if prefilter == "semi":
+        train_sh = train_sh.join(F.broadcast(eval_set), "shingle", "semi")
+    elif prefilter == "bloom":
+        train_sh = _bloom_prefilter(train_sh, eval_set, bloom_bits)
+    elif prefilter is not None:
+        raise ValueError(f"prefilter must be 'semi', 'bloom' or None: {prefilter!r}")
+    hits = train_sh.distinct().withColumn("_hit", F.col("shingle"))
     return (
         test_sh.join(hits, "shingle", "left")
         .groupBy("doc_id")
@@ -172,6 +204,57 @@ def contamination(
         )
         .withColumn("overlap", F.col("n_matched") / F.col("n_shingles"))
     )
+
+
+def _bloom_prefilter(
+    train_sh: DataFrame, eval_set: DataFrame, bloom_bits: int
+) -> DataFrame:
+    """Keep only train shingles whose 3 double-hashed probe bits are all
+    set in a bitmap built from the eval shingle set. Kirsch-Mitzenmacher
+    double hashing: probe_i = (h1 + i*h2) mod bits with h1/h2 derived
+    from two independent xxhash64 seeds — identical arithmetic on both
+    the build (driver, numpy) and probe (Arrow kernel) sides."""
+    import numpy as np
+
+    bits = int(bloom_bits)
+    words = (bits + 63) // 64
+    seeds = eval_set.select(
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64("shingle", F.lit(1)).alias("h2"),
+    ).collect()
+    bitmap = np.zeros(words, dtype=np.uint64)
+    if seeds:
+        h1 = np.array([r.h1 for r in seeds], dtype=np.int64).astype(np.uint64)
+        h2 = np.array([r.h2 for r in seeds], dtype=np.int64).astype(np.uint64)
+        for i in range(3):
+            p = (h1 + np.uint64(i) * h2) % np.uint64(bits)
+            np.bitwise_or.at(
+                bitmap, (p >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (p & np.uint64(63)),
+            )
+    bc = train_sh.sparkSession.sparkContext.broadcast(bitmap)
+
+    def probe(batches):
+        bm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s1 = pdf["_h1"].to_numpy().astype(np.uint64)
+            s2 = pdf["_h2"].to_numpy().astype(np.uint64)
+            keep = np.ones(len(pdf), dtype=bool)
+            for i in range(3):
+                p = (s1 + np.uint64(i) * s2) % np.uint64(bits)
+                word = bm[(p >> np.uint64(6)).astype(np.int64)]
+                keep &= (word >> (p & np.uint64(63))) & np.uint64(1) == 1
+            if keep.any():
+                yield pdf.loc[keep, ["shingle"]]
+
+    hashed = train_sh.select(
+        "shingle",
+        F.xxhash64("shingle").alias("_h1"),
+        F.xxhash64("shingle", F.lit(1)).alias("_h2"),
+    )
+    return hashed.mapInPandas(probe, schema="shingle bigint")
 
 
 def contamination_oracle_sql(

@@ -776,3 +776,31 @@ def test_span_shapes_agree(spark, gather):
     # the partial-dup doc's span covers exactly the shared 20 tokens
     e_spans = [(s, e) for d, _i, s, e, _n in want if d == "e"]
     assert e_spans == [(0, 20)]
+
+
+@pytest.mark.parametrize("pf", [None, "semi", "bloom"])
+def test_contamination_prefilters_agree(spark, pf):
+    """The train-side prefilter (broadcast semi or bloom bitmap) must
+    not change a single output row — it only drops train shingles that
+    could never match (bloom false positives are re-dropped by the
+    exact equi-join)."""
+    from audio_feature_extraction_spark.operators import dedup, split
+    from audio_feature_extraction_spark.sources.tokens import (
+        load_token_sequences,
+    )
+
+    tagged = split.assign_split(load_token_sequences(spark, SF))
+    test_d = tagged.where("split = 'test'")
+    train_d = tagged.where("split = 'train'")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_matched, r.overlap)
+        for r in dedup.contamination(test_d, train_d, prefilter=pf).collect()
+    }
+    base = {
+        r.doc_id: (r.n_shingles, r.n_matched, r.overlap)
+        for r in dedup.contamination(
+            test_d, train_d, prefilter=None
+        ).collect()
+    }
+    assert got == base and len(base) > 0
+    assert any(m > 0 for (_s, m, _o) in base.values())

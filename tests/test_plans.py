@@ -297,3 +297,30 @@ def test_asof_range_variant_uses_range_partitioning(spark, tmp_path):
     dplan = _plan(durable)
     assert "Exchange rangepartitioning" in dplan
     assert "CartesianProduct" not in dplan
+
+
+def test_contamination_semi_prefilter_is_broadcast_pushed(spark):
+    """VERDICT r04 #8: the exploded train shingle stream is pre-filtered
+    by a BROADCAST left-semi join against the eval shingle set BEFORE
+    the distinct's exchange — at 100 TB the train side dominates and
+    unmatchable shingles must not enter the shuffle. The explicit
+    broadcast hint must survive even with auto-broadcast disabled."""
+    from audio_feature_extraction_spark.operators import dedup, split
+    from audio_feature_extraction_spark.sources.tokens import (
+        load_token_sequences,
+    )
+
+    tagged = split.assign_split(load_token_sequences(spark, SF))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(
+            dedup.contamination(
+                tagged.where("split = 'test'"),
+                tagged.where("split = 'train'"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
