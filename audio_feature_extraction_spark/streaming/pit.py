@@ -16,18 +16,26 @@ grouped by entity runs through ``applyInPandasWithState``:
   probe at equal ts), so replaying history through the stream in order
   reproduces the batch join row-for-row (tested).
 
-Late-data policy (T9): a state row older than the already-carried one is
-REJECTED (it cannot retroactively re-serve probes that were already
-emitted — the online analog of the batch join's leakage refusal; use the
-batch join for backfills), and a late PROBE — one arriving in a later
-micro-batch than a newer-timestamped state — is served NULL rather than
-that future state (serving it would be temporal leakage relative to the
-batch join; ADVICE r03). This is deliberately ``asof_join`` semantics
-only for in-order streams; a late probe's correct historical value is
-recoverable only via the batch join.
+Late-data policy (T9): a state row older than the already-carried one
+cannot retroactively re-serve probes that were already emitted (the
+online analog of the batch join's leakage refusal; use the batch join
+for backfills) — it can only refine the PREV slot of the two-deep
+carry. A late PROBE — one arriving in a later micro-batch than a
+newer-timestamped state — is NEVER served that future state (temporal
+leakage relative to the batch join; ADVICE r03): it falls back to the
+prev-slot state if that one is genuinely earlier, else null. The
+invariants that hold under ARBITRARY arrival disorder
+(property-tested with shuffled chunk->trigger permutations):
 
-Scale shape: state is ONE small row per entity (value + two longs) in
-the state store, the minimum possible; the shuffle is the same
+* zero leakage — a served ``asof_ts`` is never later than the probe's
+  (strictly earlier in strict mode);
+* serve integrity — a non-null serve is always a real (value, ts) state
+  of that entity, within the TTL when one is set;
+* in-order replay reproduces the batch ``asof_join`` row-for-row
+  (inclusive, strict, and TTL modes).
+
+Scale shape: state is TWO small rows per entity (last + prev carry:
+two values + four longs) in the state store; the shuffle is the same
 entity-hash exchange the batch join does once per batch.
 """
 
@@ -40,7 +48,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-PIT_STATE_SCHEMA = "v double, ts long, seq long"
+PIT_STATE_SCHEMA = (
+    "v double, ts long, seq long, pv double, pts long, pseq long"
+)
 PIT_OUT_SCHEMA = (
     "user_id long, event_id long, ts timestamp, asof_value double, "
     "asof_ts timestamp"
@@ -72,14 +82,22 @@ def tag_pit_stream(
 def stream_pit_serve(
     tagged: DataFrame,
     max_staleness_seconds: float | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """(entity, ts, tag, seq, v) stream -> served probe stream.
 
     Output: one row per probe with the latest non-null state value at
-    serve time (nulls when no prior state, or older than the TTL). The
-    equivalence test replays in-order history through a real two-trigger
-    streaming query and matches ``asof_join`` on the same events
-    row-for-row.
+    (``strict``: strictly before) serve time — nulls when no eligible
+    prior state, or older than the TTL. The carry is two-deep, exactly
+    :func:`operators.asof.asof_join_range`'s boundary carry held in the
+    state store: ``last`` = max-(ts, seq) accepted state, ``prev`` =
+    best known state with ts strictly earlier than ``last``'s. ``prev``
+    is what strict mode serves at an equal-ts boundary, and what a
+    guarded late probe falls back to instead of null. The equivalence
+    tests replay in-order history through a real two-trigger streaming
+    query and match ``asof_join`` row-for-row in all three modes; the
+    disorder property test replays shuffled chunk permutations and
+    asserts zero leakage + serve integrity.
     """
     ttl_us = (
         int(max_staleness_seconds * 1_000_000)
@@ -91,34 +109,54 @@ def stream_pit_serve(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            sv, sts, sseq = state.get
+            sv, sts, sseq, pv, pts, pseq = state.get
         else:
-            sv, sts, sseq = None, None, None
+            sv, sts, sseq, pv, pts, pseq = (None,) * 6
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "tag", "event_id"])
-            for row in pdf.itertuples(index=False):
+        # applyInPandasWithState may split the group across Arrow
+        # chunks; concat before sorting so in-batch (ts, tag, seq)
+        # ordering repair spans the whole micro-batch, not each chunk
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else (chunks[0] if chunks else None)
+        )
+        if whole is not None:
+            whole = whole.sort_values(["ts", "tag", "event_id"])
+            for row in whole.itertuples(index=False):
                 ts_us = row.ts.value // 1000  # pandas Timestamp -> micros
                 if row.tag == 0:
                     if row.v is None or pd.isna(row.v):
                         continue  # transparent state
-                    # reject out-of-order states older than the carry
-                    if sts is not None and (
-                        ts_us, row.event_id
-                    ) < (sts, sseq if sseq is not None else -1):
-                        continue
-                    sv, sts, sseq = float(row.v), ts_us, int(row.event_id)
+                    seq = int(row.event_id)
+                    if sts is None or (ts_us, seq) >= (sts, sseq):
+                        if sts is not None and ts_us > sts:
+                            pv, pts, pseq = sv, sts, sseq
+                        sv, sts, sseq = float(row.v), ts_us, seq
+                    elif ts_us < sts and (
+                        pts is None or (ts_us, seq) > (pts, pseq)
+                    ):
+                        # late state: cannot re-serve the past, but may
+                        # refine the strictly-earlier prev slot
+                        pv, pts, pseq = float(row.v), ts_us, seq
                 else:
-                    v, t = sv, sts
-                    # late PROBE guard: a probe arriving after a newer
-                    # state was carried (cross-batch disorder) must not
-                    # be served that future-timestamped state — that
-                    # would be temporal leakage relative to the batch
-                    # as-of join this module twins (ADVICE r03)
-                    if v is not None and sts > ts_us:
+                    # newest eligible carry: last, else prev, else null.
+                    # Eligible = not in the probe's future (the
+                    # no-leakage guard; strict also excludes equal-ts)
+                    def _ok(t):
+                        return t is not None and (
+                            t < ts_us if strict else t <= ts_us
+                        )
+
+                    if _ok(sts):
+                        v, t = sv, sts
+                    elif _ok(pts):
+                        v, t = pv, pts
+                    else:
                         v, t = None, None
                     if v is not None and ttl_us is not None and (
-                        ts_us - sts > ttl_us
+                        ts_us - t > ttl_us
                     ):
                         v, t = None, None
                     out.append(
@@ -131,7 +169,7 @@ def stream_pit_serve(
                         )
                     )
         if sts is not None:
-            state.update((sv, sts, sseq if sseq is not None else -1))
+            state.update((sv, sts, sseq, pv, pts, pseq))
         if out:
             yield pd.DataFrame(
                 out,
@@ -211,7 +249,11 @@ def stream_pit_serve_multi(
             )
         out = []
         any_state = False
-        for pdf in pdfs:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole_list = (
+            [pd.concat(chunks, ignore_index=True)] if len(chunks) > 1 else chunks
+        )
+        for pdf in whole_list:
             pdf = pdf.sort_values(["ts", "tag", "event_id"])
             for row in pdf.itertuples(index=False):
                 ts_us = row.ts.value // 1000

@@ -440,3 +440,159 @@ def test_sessionize_backfill_match_duckdb(spark, scenario):
     )
     assert got_sess == duck_sess
     assert got_fill == duck_fill
+
+
+# ---------------------------------------------------------------------------
+# out-of-order streaming PIT replay (VERDICT r04 #3)
+# ---------------------------------------------------------------------------
+
+_pit_run_counter = [0]
+
+
+@st.composite
+def _pit_disorder_scenarios(draw):
+    """Random event stream plus an ARBITRARY chunk->trigger assignment:
+    events land in any of 3 micro-batches regardless of event time, so
+    states arrive late, probes arrive late, and groups split across
+    triggers. strict/TTL toggles included."""
+    n_entities = draw(st.integers(1, 2))
+    n = draw(st.integers(3, 12))
+    events = []
+    for seq in range(n):
+        e = draw(st.integers(0, n_entities - 1))
+        ts = draw(st.integers(0, 30))
+        is_probe = draw(st.booleans())
+        v = (
+            None
+            if is_probe or draw(st.integers(0, 3)) == 0
+            else float(draw(st.integers(-5, 5)))
+        )
+        trig = draw(st.integers(0, 2))
+        events.append((e, ts, is_probe, v, seq, trig))
+    strict = draw(st.booleans())
+    ttl = draw(st.sampled_from([None, 9.0]))
+    return events, strict, ttl
+
+
+@settings(max_examples=10, deadline=None)
+@given(scenario=_pit_disorder_scenarios())
+def test_stream_pit_disorder_no_leakage_and_integrity(spark, scenario):
+    """Replaying the SAME events with shuffled chunk->trigger assignment
+    must uphold the online contract row-by-row:
+
+    * every probe is served exactly once;
+    * zero leakage — a non-null serve's asof_ts is never later than the
+      probe's ts (strictly earlier in strict mode);
+    * serve integrity — a non-null (value, ts) is a REAL state of that
+      entity, within the TTL when one is set;
+    * when the drawn assignment happens to respect per-entity event-time
+      order, the serves equal the batch as-of join exactly.
+    """
+    import shutil
+    import tempfile
+
+    from audio_feature_extraction_spark.operators import asof
+    from audio_feature_extraction_spark.streaming import pit
+
+    events, strict, ttl = scenario
+    rows = [
+        (seq, _T0 + _dt.timedelta(seconds=ts), e, "view" if is_probe else "click",
+         v, trig)
+        for (e, ts, is_probe, v, seq, trig) in events
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    workdir = tempfile.mkdtemp(prefix="pit_disorder_")
+    _pit_run_counter[0] += 1
+    qname = f"pit_disorder_{_pit_run_counter[0]}"
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        src = f"{workdir}/ev"
+        events_stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        tagged = pit.tag_pit_stream(
+            events_stream, "event_type = 'view'", "event_type = 'click'"
+        )
+        served = pit.stream_pit_serve(
+            tagged, max_staleness_seconds=ttl, strict=strict
+        )
+        q = (
+            served.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{workdir}/ck")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            for trig in range(3):
+                chunk = [r[:5] for r in rows if r[5] == trig]
+                if not chunk:
+                    continue
+                spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                    f"{src}/b{trig}"
+                )
+                q.processAllAvailable()
+            got = {
+                r.event_id: (r.asof_value, r.asof_ts)
+                for r in spark.sql(f"select * from {qname}").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    probes = {seq: (e, ts) for (e, ts, is_probe, _v, seq, _t) in events if is_probe}
+    states = {}
+    for (e, ts, is_probe, v, _seq, _t) in events:
+        if not is_probe and v is not None:
+            states.setdefault(e, set()).add(
+                (v, _T0 + _dt.timedelta(seconds=ts))
+            )
+
+    # every probe served exactly once
+    assert set(got) == set(probes)
+    for seq, (v, ats) in got.items():
+        e, ts = probes[seq]
+        pts = _T0 + _dt.timedelta(seconds=ts)
+        if v is not None:
+            assert ats is not None
+            # zero temporal leakage, under ANY disorder
+            assert ats < pts if strict else ats <= pts
+            # serve integrity: a real state of this entity
+            assert (v, ats) in states.get(e, set())
+            if ttl is not None:
+                assert (pts - ats).total_seconds() <= ttl
+
+    # in-order assignments must reproduce the batch join exactly
+    def key(r):
+        # (ts, tag, seq): states sort before probes at equal ts
+        return (r[1], 0 if r[3] == "click" else 1, r[0])
+
+    def rows_of(ent):
+        return [r for r in rows if r[2] == ent]
+
+    inorder = True
+    for ent in {r[2] for r in rows}:
+        ers = sorted(rows_of(ent), key=key)
+        trigs = [r[5] for r in ers]
+        if any(a > b for a, b in zip(trigs, trigs[1:])):
+            inorder = False
+    if inorder:
+        all_ev = spark.createDataFrame([r[:5] for r in rows], schema)
+        expect = {
+            r.event_id: (r.asof_value, r.asof_ts)
+            for r in asof.asof_join(
+                all_ev.where("event_type = 'view'"),
+                all_ev.where("event_type = 'click'"),
+                strict=strict,
+                max_staleness_seconds=ttl,
+            ).collect()
+        }
+        assert got == expect

@@ -770,9 +770,11 @@ def test_stream_pit_serve_matches_batch_asof(spark, tmp_path):
 
 def test_stream_pit_late_probe_not_served_future_state(spark, tmp_path):
     """ADVICE r03: a probe arriving in a LATER micro-batch than a
-    newer-timestamped state must be served null, not that future state —
-    serving it would be temporal leakage relative to the batch as-of
-    join this operator twins."""
+    newer-timestamped state must never be served that future state —
+    temporal leakage relative to the batch as-of join this operator
+    twins. With the two-deep carry it is served the PREV-slot state
+    when that one is genuinely earlier (here: the batch join's exact
+    answer), and null when even prev is in its future."""
     import datetime as dt
 
     from audio_feature_extraction_spark.streaming import pit
@@ -785,11 +787,12 @@ def test_stream_pit_late_probe_not_served_future_state(spark, tmp_path):
     schema = ("event_id long, ts timestamp, user_id long, event_type string, "
               "value double")
     batch1 = [
-        ev(0, 0, 1, "click", 1.0),
-        ev(1, 20, 1, "click", 9.0),      # carried state ends at ts=20
+        ev(0, 10, 1, "click", 1.0),
+        ev(1, 20, 1, "click", 9.0),      # carry: last ts=20, prev ts=10
     ]
     batch2 = [
-        ev(2, 5, 1, "view", None),       # LATE probe: ts=5 < carried ts=20
+        ev(2, 15, 1, "view", None),      # LATE probe: prev (ts=10) serves
+        ev(4, 5, 1, "view", None),       # LATE probe before prev too: null
         ev(3, 25, 1, "view", None),      # in-order probe -> 9.0
     ]
     src = tmp_path / "ev"
@@ -823,7 +826,10 @@ def test_stream_pit_late_probe_not_served_future_state(spark, tmp_path):
         }
     finally:
         q.stop()
-    assert got[2] == (None, None)  # late probe: null, NOT the future 9.0
+    # late probe: the prev-slot state (the batch join's answer), NEVER
+    # the future 9.0@20
+    assert got[2] == (1.0, t0 + dt.timedelta(minutes=10))
+    assert got[4] == (None, None)  # older than every known state: null
     assert got[3] == (9.0, t0 + dt.timedelta(minutes=20))
 
 
@@ -1177,3 +1183,78 @@ def test_stream_exact_dedup_group_split_across_arrow_chunks(spark, tmp_path):
             "spark.sql.execution.arrow.maxRecordsPerBatch", old
         )
     assert [(r.doc_id, r.keeper_doc_id) for r in got] == [("d3", "d3")]
+
+
+def test_stream_pit_serve_strict_matches_batch(spark, tmp_path):
+    """strict=True online: at an equal-ts boundary the probe is served
+    the PREV-slot state (the latest strictly earlier), exactly like the
+    batch strict as-of join on an in-order replay."""
+    import datetime as dt
+
+    from audio_feature_extraction_spark.operators import asof
+    from audio_feature_extraction_spark.streaming import pit
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, minutes, user, etype, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, value)
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double")
+    batch1 = [
+        ev(0, 0, 1, "click", 1.0),
+        ev(1, 10, 1, "click", 5.0),
+        ev(2, 10, 1, "view", None),   # equal-ts probe -> strict serves 1.0
+        ev(3, 10, 1, "click", 9.0),   # equal-ts, higher seq: carry tie-break
+    ]
+    batch2 = [
+        ev(4, 10, 1, "view", None),   # equal-ts probe, cross-batch -> 1.0
+        ev(5, 11, 1, "view", None),   # later probe -> 9.0 (max-seq at ts 10)
+        ev(6, 0, 2, "view", None),    # no state -> null
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    tagged = pit.tag_pit_stream(
+        events, "event_type = 'view'", "event_type = 'click'"
+    )
+    served = pit.stream_pit_serve(tagged, strict=True)
+    q = (
+        served.writeStream.format("memory")
+        .queryName("pit_strict_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+        got = {
+            r.event_id: (r.asof_value, r.asof_ts)
+            for r in spark.sql("select * from pit_strict_out").collect()
+        }
+    finally:
+        q.stop()
+
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        r.event_id: (r.asof_value, r.asof_ts)
+        for r in asof.asof_join(
+            all_events.where("event_type = 'view'"),
+            all_events.where("event_type = 'click'"),
+            strict=True,
+        ).collect()
+    }
+    assert got == expect and len(got) == 4
+    assert got[2] == (1.0, t0)
+    assert got[4] == (1.0, t0)
+    assert got[5] == (9.0, t0 + dt.timedelta(minutes=10))
+    assert got[6] == (None, None)
