@@ -74,11 +74,12 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def _decode_real(payload: bytes, modality: str) -> np.ndarray:
-    """The real-decoder seam. Audio (RIFF/PCM WAV, FLAC) and images
-    (BMP, PNG) decode for real with pure numpy/stdlib (multimodal/
-    wav.py, flac.py, image.py). MP3/OGG parse their real container
-    metadata (multimodal/probe.py) but SAMPLE decode needs an
-    ffmpeg-class codec and keeps the honest error here; video likewise.
+    """The real-decoder seam. Audio (RIFF/PCM WAV, FLAC, MPEG Layer
+    I/II) and images (BMP, PNG) decode for real with pure numpy/stdlib
+    (multimodal/wav.py, flac.py, mpeg_decode.py, image.py). MP3 Layer
+    III (Huffman + IMDCT) and OGG sample decode need an ffmpeg-class
+    codec and keep the honest error here (container metadata IS parsed
+    — multimodal/probe.py); video likewise.
     """
     if modality == "audio":
         if payload[:4] == b"fLaC":
@@ -86,16 +87,25 @@ def _decode_real(payload: bytes, modality: str) -> np.ndarray:
 
             signal, _sr = decode_flac(payload)
             return signal
-        if payload[:4] == b"OggS" or payload[:3] == b"ID3" or (
+        if payload[:4] == b"OggS":
+            raise NotImplementedError(
+                "OGG sample decode needs an ffmpeg-class codec; "
+                "container metadata IS parsed — use "
+                "multimodal.probe.probe_media_metadata"
+            )
+        if payload[:3] == b"ID3" or (
             len(payload) >= 2
             and payload[0] == 0xFF
             and (payload[1] & 0xE0) == 0xE0
         ):
-            raise NotImplementedError(
-                "MP3/OGG sample decode needs an ffmpeg-class codec; "
-                "container metadata IS parsed — use "
-                "multimodal.probe.probe_media_metadata"
+            # MPEG audio: Layers I/II decode for real; Layer III raises
+            # NotImplementedError inside (the remaining codec seam)
+            from audio_feature_extraction_spark.multimodal.mpeg_decode import (
+                decode_mpeg_samples,
             )
+
+            signal, _sr = decode_mpeg_samples(payload)
+            return signal
         from audio_feature_extraction_spark.multimodal.wav import decode_wav
 
         signal, _sr = decode_wav(payload)  # LoadError on non-WAV bytes

@@ -5,9 +5,10 @@ Real frame-header walk over MPEG-1/2/2.5 Layer I/II/III streams
 formulae, and the de-facto Xing/Info VBR tag): skips ID3v2/ID3v1 tags,
 validates every frame header, resyncs across junk, and reports sample
 rate, channel mode, frame count, duration and average bitrate. This is
-the metadata half of MP3 support; SAMPLE decode (huffman + IMDCT +
-polyphase synthesis) stays behind the ``_decode_real`` seam in
-multimodal/binary.py — it genuinely needs an ffmpeg-class codec.
+the metadata half of MPEG audio support; Layer I/II SAMPLE decode lives
+in multimodal/mpeg_decode.py (wired through the ``_decode_real`` seam
+in multimodal/binary.py); Layer III (huffman + IMDCT) remains the
+documented codec seam.
 
 ≙ the reference's format list WAV/FLAC/MP3/OGG (design.md:451-475;
 requirements.md:18).
