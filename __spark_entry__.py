@@ -800,19 +800,41 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = load_token_sequences(spark, sf_dir)
     spans = dedup.duplicate_gram_spans(ts, k=_SPAN_K)
     strip = dedup.strip_duplicate_spans(ts, spans=spans)
-    span_rows = spans.select(
-        "doc_id",
-        F.col("span_start").cast("long").alias("a"),
-        F.col("span_end").cast("long").alias("b"),
-        F.col("n_grams").cast("string").alias("payload"),
-    )
+
+    def _span_rows(df):
+        return df.select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("a"),
+            F.col("span_end").cast("long").alias("b"),
+            F.col("n_grams").cast("string").alias("payload"),
+        )
+
     strip_rows = _csv_cols(strip, "tokens_clean").select(
         "doc_id",
         F.col("n_kept").alias("a"),
         F.col("n_removed").alias("b"),
         F.col("tokens_clean_csv").alias("payload"),
     )
-    return _variant_union([("span", span_rows), ("strip", strip_rows)])
+    # both explicit pass-2 physical shapes (VERDICT r04 #6) verify
+    # against the SAME spans_agg oracle as the adaptive default
+    return _variant_union(
+        [
+            ("span", _span_rows(spans)),
+            (
+                "span_direct",
+                _span_rows(
+                    dedup.duplicate_gram_spans(ts, k=_SPAN_K, gather=False)
+                ),
+            ),
+            (
+                "span_gather",
+                _span_rows(
+                    dedup.duplicate_gram_spans(ts, k=_SPAN_K, gather=True)
+                ),
+            ),
+            ("strip", strip_rows),
+        ]
+    )
 
 
 _MIX_RATES = {"web": 1.5, "wiki": 2.0, "books": 0.25}
@@ -841,10 +863,20 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: per test-doc shingle overlap with the
-    train split (cross-split n-gram contamination check)."""
+    train split (cross-split n-gram contamination check). Three
+    train-side prefilter shapes against ONE oracle (VERDICT r04 #8):
+    'semi' = broadcast left-semi on the eval shingle set (the default),
+    'bloom' = xxhash64 double-hashed bitmap probed in an Arrow kernel,
+    'none' = the unfiltered r04 shape."""
     tagged = split.assign_split(load_token_sequences(spark, sf_dir))
-    return dedup.contamination(
-        tagged.where("split = 'test'"), tagged.where("split = 'train'")
+    te = tagged.where("split = 'test'")
+    tr = tagged.where("split = 'train'")
+    return _variant_union(
+        [
+            ("semi", dedup.contamination(te, tr, prefilter="semi")),
+            ("bloom", dedup.contamination(te, tr, prefilter="bloom")),
+            ("none", dedup.contamination(te, tr, prefilter=None)),
+        ]
     )
 
 
@@ -1613,11 +1645,14 @@ def oracle_sql() -> dict[str, str]:
             + _variant_union_sql(
                 [
                     (
-                        "span",
+                        v,
                         "SELECT doc_id, CAST(span_start AS BIGINT) AS a, "
                         "CAST(span_end AS BIGINT) AS b, "
                         "CAST(n_grams AS VARCHAR) AS payload FROM spans_agg",
-                    ),
+                    )
+                    for v in ("span", "span_direct", "span_gather")
+                ]
+                + [
                     (
                         "strip",
                         "SELECT doc_id, CAST(n_kept AS BIGINT) AS a, "
@@ -1661,6 +1696,11 @@ def oracle_sql() -> dict[str, str]:
             + dedup.contamination_oracle_sql(
                 f"({split.split_case_sql(num_id)}) = 'train'",
                 f"({split.split_case_sql(num_id)}) = 'test'",
+                final_cte="cont",
+            )
+            + " "
+            + _variant_union_sql(
+                [(v, "SELECT * FROM cont") for v in ("semi", "bloom", "none")]
             )
         ),
         "ann_brute": similarity.brute_force_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),

@@ -535,6 +535,7 @@ def asof_join_range(
     max_staleness_seconds: float | None = None,
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """As-of join as a sort-merge over ``repartitionByRange``'d,
     timestamp-ordered partitions — the north star's literal physical
@@ -562,13 +563,15 @@ def asof_join_range(
 
     Run durability — two modes, same results (tested equal):
 
-    * default (``checkpoint_dir=None``): the sorted run is
-      ``localCheckpoint``'ed eagerly — materialized once, partition
-      identity pinned for both passes, and the blocks are reclaimed by
-      the ContextCleaner when the caller drops the result (no
-      session-lifetime cache-manager leak). Right for local /
-      single-job use; checkpoint blocks do not survive an executor
-      loss — that is what the durable mode is for.
+    * default (``checkpoint_dir=None``): the sorted run is cached for
+      exactly the call's lifetime — pass A fills the cache while
+      summarizing (one job, partition identity pinned), pass B serves
+      from it into an eagerly ``localCheckpoint``'ed result, and the
+      cache is released before returning (no session-lifetime
+      cache-manager leak, ADVICE r04; the result's blocks are
+      reclaimed by the ContextCleaner when the caller drops it).
+      Right for local / single-job use; cached blocks do not survive
+      an executor loss — that is what the durable mode is for.
     * ``checkpoint_dir`` (HDFS/S3/NFS path at cluster scale — the
       :func:`connected_components` durable pattern): the sorted run is
       written ONCE to parquet scratch under ``<dir>/asof-run``; both
@@ -627,14 +630,15 @@ def asof_join_range(
             .sortWithinPartitions("_pid", "_e", "_tsu", "_tag", "_seq")
         )
     else:
-        # Materialize the sorted run ONCE and pin its partition
-        # identity for both passes. localCheckpoint (not persist): the
-        # blocks are reclaimed by the ContextCleaner as soon as the
-        # caller drops the returned DataFrame — persist() registered a
-        # cacheManager entry that outlived every call for the session
-        # lifetime (ADVICE r04), and a fresh unpersisted recompute
-        # could re-sample different range bounds between the passes.
-        part = sorted_run.localCheckpoint(eager=True)
+        # Cache the sorted run so pass A's job both computes and pins
+        # it (partition identity must not be re-derived between the
+        # passes — a fresh recompute could re-sample different range
+        # bounds). The cache is released before returning: the RESULT
+        # is eagerly localCheckpoint'ed (blocks reclaimed by the
+        # ContextCleaner when the caller drops it) and the run
+        # unpersisted — persist() alone leaked one cached dataset per
+        # call for the session lifetime (ADVICE r04).
+        part = sorted_run.persist()
     try:
         # itertuples mangles column names that start with "_", so both
         # kernels walk positional tuples via a column-index map
@@ -881,8 +885,14 @@ def asof_join_range(
                 run = _tail_update(run, e, tsu, seq, v, seg_start, is_state)
 
         # serve is shuffle-free: a narrow mapInPandas over the pinned
-        # sorted run (checkpoint blocks or durable parquet scratch)
-        return part.mapInPandas(serve, schema=out_schema)
+        # sorted run (cached blocks or durable parquet scratch)
+        result = part.mapInPandas(serve, schema=out_schema)
+        if checkpoint_dir is None and materialize:
+            # materialize the served result from the warm cache, then
+            # release the run — no session-lifetime cache entry remains
+            result = result.localCheckpoint(eager=True)
+            part.unpersist()
+        return result
     except Exception:
         if checkpoint_dir is None:
             part.unpersist()

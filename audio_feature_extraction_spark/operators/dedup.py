@@ -258,22 +258,33 @@ def _bloom_prefilter(
 
 
 def contamination_oracle_sql(
-    train_pred: str, test_pred: str, from_clause: str = "tokseq", n: int = 8
+    train_pred: str,
+    test_pred: str,
+    from_clause: str = "tokseq",
+    n: int = 8,
+    final_cte: str | None = None,
 ) -> str:
     """CTE fragment — concatenate after an existing ``WITH tokseq AS``
-    clause (``f"{{tok_cte}}, {{this}}"``), like the other dedup oracles."""
+    clause (``f"{{tok_cte}}, {{this}}"``), like the other dedup oracles.
+    ``final_cte``: wrap the result SELECT as a named CTE instead (for
+    variant-union packaging)."""
     sh = shingle_expr(spark=False, n=n)
-    return (
-        f"trs AS (SELECT DISTINCT unnest({sh}) AS shingle "
-        f"FROM {from_clause} WHERE {train_pred}), "
-        f"tes AS (SELECT doc_id, unnest({sh}) AS shingle "
-        f"FROM {from_clause} WHERE {test_pred}) "
+    sel = (
         f"SELECT tes.doc_id AS doc_id, count(*) AS n_shingles, "
         f"count(trs.shingle) AS n_matched, "
         f"count(trs.shingle) / count(*) AS overlap "
         f"FROM tes LEFT JOIN trs ON tes.shingle = trs.shingle "
         f"GROUP BY tes.doc_id"
     )
+    base = (
+        f"trs AS (SELECT DISTINCT unnest({sh}) AS shingle "
+        f"FROM {from_clause} WHERE {train_pred}), "
+        f"tes AS (SELECT doc_id, unnest({sh}) AS shingle "
+        f"FROM {from_clause} WHERE {test_pred})"
+    )
+    if final_cte is None:
+        return f"{base} {sel}"
+    return f"{base}, {final_cte} AS ({sel})"
 
 
 # ---------------------------------------------------------------------------

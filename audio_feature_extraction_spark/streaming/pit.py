@@ -51,6 +51,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 PIT_STATE_SCHEMA = (
     "v double, ts long, seq long, pv double, pts long, pseq long"
 )
+_NO_TS = -(2**63)  # "no state" sentinel outside any real unix_micros
+
 PIT_OUT_SCHEMA = (
     "user_id long, event_id long, ts timestamp, asof_value double, "
     "asof_ts timestamp"
@@ -215,13 +217,16 @@ def stream_pit_serve_multi(
     tagged: DataFrame,
     sources: list[str],
     max_staleness_seconds: float | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Online twin of ``asof_join_multi``: each probe is served the
     latest non-null state from EVERY source, from one state row per
-    entity holding parallel per-source (value, ts, seq) arrays — still
-    the minimum state the problem allows. Same contract as
-    ``stream_pit_serve`` per source (null transparency, TTL,
-    out-of-order state rejection)."""
+    entity holding parallel per-source (last, prev) carries — still the
+    minimum state the problem allows. Same contract as
+    ``stream_pit_serve`` per source: null transparency, TTL, strict
+    equal-ts exclusion via the prev slot, late states refine prev but
+    never re-serve the past, late probes fall back to prev or null
+    (zero leakage)."""
     n_src = len(sources)
     ttl_us = (
         int(max_staleness_seconds * 1_000_000)
@@ -231,7 +236,10 @@ def stream_pit_serve_multi(
     out_schema = "user_id long, event_id long, ts timestamp, " + ", ".join(
         f"asof_{s} double, asof_{s}_ts timestamp" for s in sources
     )
-    state_schema = "vs array<double>, tss array<long>, seqs array<long>"
+    state_schema = (
+        "vs array<double>, tss array<long>, seqs array<long>, "
+        "pvs array<double>, ptss array<long>, pseqs array<long>"
+    )
     cols = ["user_id", "event_id", "ts"]
     for s in sources:
         cols += [f"asof_{s}", f"asof_{s}_ts"]
@@ -240,13 +248,10 @@ def stream_pit_serve_multi(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            vs, tss, seqs = (list(x) for x in state.get)
+            vs, tss, seqs, pvs, ptss, pseqs = (list(x) for x in state.get)
         else:
-            vs, tss, seqs = (
-                [None] * n_src,
-                [-1] * n_src,
-                [-1] * n_src,
-            )
+            vs, tss, seqs = [None] * n_src, [_NO_TS] * n_src, [-1] * n_src
+            pvs, ptss, pseqs = [None] * n_src, [_NO_TS] * n_src, [-1] * n_src
         out = []
         any_state = False
         chunks = [pdf for pdf in pdfs if len(pdf)]
@@ -261,20 +266,35 @@ def stream_pit_serve_multi(
                     i = int(row.src)
                     if row.v is None or pd.isna(row.v):
                         continue
-                    if tss[i] >= 0 and (ts_us, row.event_id) < (tss[i], seqs[i]):
-                        continue
-                    vs[i], tss[i], seqs[i] = float(row.v), ts_us, int(row.event_id)
+                    seq = int(row.event_id)
+                    if tss[i] == _NO_TS or (ts_us, seq) >= (tss[i], seqs[i]):
+                        if tss[i] != _NO_TS and tss[i] < ts_us:
+                            pvs[i], ptss[i], pseqs[i] = vs[i], tss[i], seqs[i]
+                        vs[i], tss[i], seqs[i] = float(row.v), ts_us, seq
+                    elif ts_us < tss[i] and (
+                        ptss[i] == _NO_TS
+                        or (ts_us, seq) > (ptss[i], pseqs[i])
+                    ):
+                        pvs[i], ptss[i], pseqs[i] = float(row.v), ts_us, seq
                     any_state = True
                 else:
                     rec = [key[0], int(row.event_id), row.ts]
                     for i in range(n_src):
-                        v = vs[i] if tss[i] >= 0 else None
-                        t = tss[i] if tss[i] >= 0 else None
-                        # late-probe guard (see stream_pit_serve)
-                        if v is not None and tss[i] > ts_us:
+                        def _ok(t):
+                            # explicit sentinel, not a sign test —
+                            # pre-epoch states are real (ADVICE r04)
+                            return t != _NO_TS and (
+                                t < ts_us if strict else t <= ts_us
+                            )
+
+                        if _ok(tss[i]):
+                            v, t = vs[i], tss[i]
+                        elif _ok(ptss[i]):
+                            v, t = pvs[i], ptss[i]
+                        else:
                             v, t = None, None
                         if v is not None and ttl_us is not None and (
-                            ts_us - tss[i] > ttl_us
+                            ts_us - t > ttl_us
                         ):
                             v, t = None, None
                         rec += [
@@ -285,7 +305,7 @@ def stream_pit_serve_multi(
                         ]
                     out.append(tuple(rec))
         if any_state or state.exists:
-            state.update((vs, tss, seqs))
+            state.update((vs, tss, seqs, pvs, ptss, pseqs))
         if out:
             yield pd.DataFrame(out, columns=cols)
 

@@ -1258,3 +1258,82 @@ def test_stream_pit_serve_strict_matches_batch(spark, tmp_path):
     assert got[4] == (1.0, t0)
     assert got[5] == (9.0, t0 + dt.timedelta(minutes=10))
     assert got[6] == (None, None)
+
+
+def test_stream_pit_serve_multi_strict_matches_batch(spark, tmp_path):
+    """Multi-source strict mode online: per-source (last, prev) carries
+    serve the strictly-earlier state at equal-ts boundaries, matching
+    the batch asof_join_multi(strict=True) on an in-order replay."""
+    import datetime as dt
+
+    from audio_feature_extraction_spark.operators import asof
+    from audio_feature_extraction_spark.streaming import pit
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, minutes, user, etype, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, value)
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double")
+    batch1 = [
+        ev(0, 0, 1, "click", 1.0),
+        ev(1, 10, 1, "click", 5.0),
+        ev(2, 3, 1, "purchase", 7.0),
+        ev(3, 10, 1, "view", None),   # strict: click -> 1.0, purchase -> 7.0
+    ]
+    batch2 = [
+        ev(4, 12, 1, "view", None),   # click -> 5.0, purchase -> 7.0
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    tagged = pit.tag_pit_stream_multi(
+        events,
+        "event_type = 'view'",
+        {"click": "event_type = 'click'",
+         "purchase": "event_type = 'purchase'"},
+    )
+    served = pit.stream_pit_serve_multi(
+        tagged, ["click", "purchase"], strict=True
+    )
+    q = (
+        served.writeStream.format("memory")
+        .queryName("pit_multi_strict")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+        got = {
+            r.event_id: (r.asof_click, r.asof_click_ts,
+                         r.asof_purchase, r.asof_purchase_ts)
+            for r in spark.sql("select * from pit_multi_strict").collect()
+        }
+    finally:
+        q.stop()
+
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        r.event_id: (r.asof_click, r.asof_click_ts,
+                     r.asof_purchase, r.asof_purchase_ts)
+        for r in asof.asof_join_multi(
+            all_events.where("event_type = 'view'"),
+            {"click": all_events.where("event_type = 'click'"),
+             "purchase": all_events.where("event_type = 'purchase'")},
+            strict=True,
+        ).collect()
+    }
+    assert got == expect and len(got) == 2
+    assert got[3] == (1.0, t0, 7.0, t0 + dt.timedelta(minutes=3))
+    assert got[4][0] == 5.0
