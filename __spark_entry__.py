@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 # the engine package lives beside this file — make the import robust to
 # whatever CWD the driver uses
@@ -871,11 +872,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = split.assign_split(load_token_sequences(spark, sf_dir))
     te = tagged.where("split = 'test'")
     tr = tagged.where("split = 'train'")
+    cov = textstats.bigram_coverage(te, tr).select(
+        "doc_id",
+        F.col("n_bigrams").alias("n_shingles"),
+        F.col("n_known").alias("n_matched"),
+        F.col("coverage").alias("overlap"),
+    )
     return _variant_union(
         [
             ("semi", dedup.contamination(te, tr, prefilter="semi")),
             ("bloom", dedup.contamination(te, tr, prefilter="bloom")),
             ("none", dedup.contamination(te, tr, prefilter=None)),
+            ("bigram_cov", cov),
         ]
     )
 
@@ -1090,6 +1098,13 @@ def q_asof_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "range",
                 asof.asof_join_range(pr, st, num_partitions=8).select(*sel),
+            ),
+            (
+                "range_durable",
+                asof.asof_join_range(
+                    pr, st, num_partitions=8,
+                    checkpoint_dir=tempfile.mkdtemp(prefix="asof_dur_"),
+                ).select(*sel),
             ),
         ]
     )
@@ -1698,9 +1713,20 @@ def oracle_sql() -> dict[str, str]:
                 f"({split.split_case_sql(num_id)}) = 'test'",
                 final_cte="cont",
             )
+            + ", "
+            + textstats.bigram_coverage_oracle_sql(
+                f"({split.split_case_sql(num_id)}) = 'train'",
+                f"({split.split_case_sql(num_id)}) = 'test'",
+                final_cte="cov",
+            )
             + " "
             + _variant_union_sql(
                 [(v, "SELECT * FROM cont") for v in ("semi", "bloom", "none")]
+                + [(
+                    "bigram_cov",
+                    "SELECT doc_id, n_bigrams AS n_shingles, "
+                    "n_known AS n_matched, coverage AS overlap FROM cov",
+                )]
             )
         ),
         "ann_brute": similarity.brute_force_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
@@ -1898,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
                 ("window", leaf["asof_join"]),
                 ("bucketed", leaf["asof_join_bucketed"]),
                 ("range", leaf["asof_join"]),
+                ("range_durable", leaf["asof_join"]),
             ]
         ),
         "asof_join_modes": _variant_union_sql(

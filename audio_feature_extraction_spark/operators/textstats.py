@@ -317,3 +317,102 @@ def repetition_stats_oracle_sql(from_clause: str = "documents") -> str:
         f"b.dup_5gram_frac, top.top_word_frac "
         f"FROM base b LEFT JOIN top USING (doc_id)"
     )
+
+
+# ---------------------------------------------------------------------------
+# reference-corpus bigram familiarity (CCNet-style LM quality signal)
+# ---------------------------------------------------------------------------
+
+_BIGRAMS_EXPR = (
+    "transform(filter(sequence(1, size(tokens)), i -> i < size(tokens)), "
+    "i -> bigint(element_at(tokens, cast(i as int))) * 32768 "
+    "+ element_at(tokens, cast(i+1 as int)))"
+)
+
+
+def bigram_coverage(
+    docs: DataFrame, reference: DataFrame, min_count: int = 2
+) -> DataFrame:
+    """Per-document familiarity against a REFERENCE corpus's bigram
+    statistics — the exact-arithmetic analog of CCNet's LM-perplexity
+    quality filter (score each doc by how typical its token
+    transitions are in a trusted corpus; low familiarity = noise/
+    boilerplate/foreign material, high = in-distribution text).
+
+    Unlike a log-perplexity score this stays hash-oracle-checkable:
+    every output is an integer count or a single division of integer
+    sums. Per doc over ALL its bigrams (repeats count — familiarity is
+    a per-token property, unlike contamination's distinct-shingle hit
+    rate): ``n_bigrams``, ``n_known`` (bigrams whose reference
+    frequency >= ``min_count``), ``coverage`` = n_known/n_bigrams, and
+    ``mean_ref_freq`` = sum(reference freq)/n_bigrams (unseen bigrams
+    contribute 0 — the add-zero analog of smoothing).
+
+    Scale shape: the reference side reduces to its bigram-frequency
+    table (8-byte codes, map-side partial agg — `bigram_stats`' shuffle)
+    and the doc side equi-joins on the code: the contamination join's
+    shape with counts riding along. Docs with < 2 tokens have no
+    bigrams and drop out, like contamination.
+    """
+    ref = (
+        reference.selectExpr(f"explode({_BIGRAMS_EXPR}) AS bigram")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("_rf"))
+    )
+    db = docs.selectExpr(
+        "doc_id", f"explode({_BIGRAMS_EXPR}) AS bigram"
+    )
+    return (
+        db.join(ref, "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count(
+                F.when(F.col("_rf") >= min_count, F.lit(1))
+            ).alias("n_known"),
+            F.sum(F.coalesce("_rf", F.lit(0))).alias("_sumf"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_known",
+            (F.col("n_known") / F.col("n_bigrams")).alias("coverage"),
+            (F.col("_sumf") / F.col("n_bigrams")).alias("mean_ref_freq"),
+        )
+    )
+
+
+def bigram_coverage_oracle_sql(
+    ref_pred: str,
+    doc_pred: str,
+    min_count: int = 2,
+    from_clause: str = "tokseq",
+    final_cte: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`bigram_coverage` as a CTE fragment (same
+    packing/arithmetic; ``final_cte`` wraps the result SELECT for
+    variant-union packaging)."""
+    bigrams = (
+        "list_transform(range(1, len(tokens)), "
+        "i -> CAST(tokens[i] AS BIGINT) * 32768 + tokens[i+1])"
+    )
+    sel = (
+        "SELECT db.doc_id AS doc_id, count(*) AS n_bigrams, "
+        f"count(CASE WHEN rf._rf >= {min_count} THEN 1 END) AS n_known, "
+        f"count(CASE WHEN rf._rf >= {min_count} THEN 1 END) / count(*) "
+        "AS coverage, "
+        "CAST(sum(coalesce(rf._rf, 0)) AS BIGINT) / count(*) "
+        "AS mean_ref_freq "
+        "FROM db LEFT JOIN rf USING (bigram) GROUP BY db.doc_id"
+    )
+    base = (
+        f"rf AS (SELECT u.bigram, count(*) AS _rf FROM "
+        f"(SELECT {bigrams} AS bs FROM {from_clause} WHERE {ref_pred}) t, "
+        f"unnest(t.bs) AS u(bigram) GROUP BY 1), "
+        f"db AS (SELECT doc_id, u.bigram FROM "
+        f"(SELECT doc_id, {bigrams} AS bs FROM {from_clause} "
+        f"WHERE {doc_pred}) t, unnest(t.bs) AS u(bigram))"
+    )
+    if final_cte is None:
+        return f"{base} {sel}"
+    return f"{base}, {final_cte} AS ({sel})"

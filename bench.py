@@ -48,6 +48,7 @@ def run_queries(
     )
     from audio_feature_extraction_spark.sources.tokens import load_token_sequences
 
+    _LOAD0 = round(os.getloadavg()[0], 2)
     spark = get_spark(f"local[{parallelism}]", app_name=f"bench[{parallelism}]")
     spec = FrameSpec(frame_len=16, hop=8)
 
@@ -245,6 +246,8 @@ def run_queries(
         "queries": timings,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "parallelism": parallelism,
+        "load_avg_start": _LOAD0,
+        "load_avg_end": round(os.getloadavg()[0], 2),
         "n_sequences": n_seq,
         "n_events": n_events,
         "seq_per_sec": round(n_seq / timings["frame_features"], 1),

@@ -131,3 +131,32 @@ def test_scrub_masks_the_dirty_fixture_fully(spark):
         "clean words see <URL> mail <EMAIL> host <IP> padded tail"
     )
     assert (r.n_urls, r.n_emails, r.n_ips) == (1, 1, 1)
+
+
+def test_bigram_coverage_hand_case(spark):
+    """Familiarity against a reference corpus: counts are exact, repeats
+    count per occurrence, unseen bigrams contribute 0 to mean_ref_freq,
+    and sub-2-token docs drop out (contamination convention)."""
+    from audio_feature_extraction_spark.operators import textstats
+
+    ref = spark.createDataFrame(
+        [("r1", [1, 2, 3], 3), ("r2", [1, 2, 4], 3)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", [1, 2, 3], 3),        # (1,2) freq 2 known; (2,3) freq 1
+            ("d2", [9, 9, 9], 3),        # all unseen
+            ("d3", [1, 2, 1, 2], 4),     # (1,2)x2 known, (2,1) unseen
+            ("d4", [7], 1),              # no bigrams -> dropped
+        ],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.n_known, r.coverage, r.mean_ref_freq)
+        for r in textstats.bigram_coverage(docs, ref, min_count=2).collect()
+    }
+    assert set(out) == {"d1", "d2", "d3"}
+    assert out["d1"] == (2, 1, 0.5, (2 + 1) / 2)
+    assert out["d2"] == (2, 0, 0.0, 0.0)
+    assert out["d3"] == (3, 2, 2 / 3, (2 + 0 + 2) / 3)
