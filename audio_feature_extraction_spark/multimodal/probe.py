@@ -1,10 +1,11 @@
 """Container sniffing + real metadata extraction over binary columns.
 
 ``probe_payload`` recognizes every format the engine handles — WAV,
-FLAC, MP3, OGG (Vorbis/Opus), PNG, BMP — from magic bytes and parses
-the real header metadata without decoding samples/pixels: WAV fmt
-chunk, FLAC STREAMINFO, the MP3 frame walk (multimodal/mpeg.py), the
-Ogg page walk (multimodal/ogg.py), PNG IHDR, BMP info header.
+FLAC, MP3, OGG (Vorbis/Opus), MP4/ISO-BMFF video, PNG, BMP — from
+magic bytes and parses the real header metadata without decoding
+samples/pixels: WAV fmt chunk, FLAC STREAMINFO, the MP3 frame walk
+(multimodal/mpeg.py), the Ogg page walk (multimodal/ogg.py), the
+ISO-BMFF box walk (multimodal/mp4.py), PNG IHDR, BMP info header.
 
 ``probe_media_metadata`` lifts it to a DataFrame operator: an
 Arrow-batched narrow map over the payload scan (decode-where-the-
@@ -115,6 +116,22 @@ def probe_payload(payload: bytes) -> dict:
             "channels": info.channels,
             "sample_rate": info.sample_rate,
             "n_frames": info.n_pages,
+            "duration_s": info.duration_s,
+        }
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        from audio_feature_extraction_spark.multimodal.mp4 import parse_mp4
+
+        info = parse_mp4(b)
+        video = next((t for t in info.tracks if t.kind == "video"), None)
+        audio = next((t for t in info.tracks if t.kind == "audio"), None)
+        return {
+            "container": "mp4",
+            "codec": info.video_codec or info.audio_codec,
+            # audio track timescale is the sample rate by convention
+            "sample_rate": audio.timescale if audio else None,
+            "width": info.width,
+            "height": info.height,
+            "n_frames": video.n_samples if video else None,
             "duration_s": info.duration_s,
         }
     if b[:8] == b"\x89PNG\r\n\x1a\n":

@@ -365,3 +365,153 @@ def test_mp3_sync_in_tail_cannot_borrow_id3v1_bytes():
     assert info.id3v1 is True
     expected = 2 * 1152 / 44100
     assert abs(info.duration_s - expected) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (multimodal/mp4.py)
+# ---------------------------------------------------------------------------
+
+def _box(fourcc: bytes, body: bytes, large: bool = False) -> bytes:
+    if large:
+        return (1).to_bytes(4, "big") + fourcc + (len(body) + 16).to_bytes(
+            8, "big"
+        ) + body
+    return (len(body) + 8).to_bytes(4, "big") + fourcc + body
+
+
+def _fullbox(fourcc: bytes, body: bytes, version: int = 0) -> bytes:
+    return _box(fourcc, bytes([version, 0, 0, 0]) + body)
+
+
+def _mvhd(timescale: int, duration: int) -> bytes:
+    return _fullbox(
+        b"mvhd",
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + bytes(80),
+    )
+
+
+def _tkhd(track_id: int, w: int = 0, h: int = 0) -> bytes:
+    body = (
+        (0).to_bytes(4, "big") * 2
+        + track_id.to_bytes(4, "big")
+        + bytes(4)
+        + (0).to_bytes(4, "big")    # duration
+        + bytes(8 + 2 + 2 + 2 + 2 + 36)
+        + (w << 16).to_bytes(4, "big")
+        + (h << 16).to_bytes(4, "big")
+    )
+    return _fullbox(b"tkhd", body)
+
+
+def _mdhd(timescale: int, duration: int, lang: str = "und") -> bytes:
+    packed = 0
+    for c in lang:
+        packed = (packed << 5) | (ord(c) - 0x60)
+    return _fullbox(
+        b"mdhd",
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + packed.to_bytes(2, "big")
+        + bytes(2),
+    )
+
+
+def _hdlr(handler: bytes) -> bytes:
+    return _fullbox(b"hdlr", bytes(4) + handler + bytes(12) + b"name\x00")
+
+
+def _stsd_video(codec: bytes, w: int, h: int) -> bytes:
+    entry = _box(
+        codec,
+        bytes(6) + (1).to_bytes(2, "big")     # reserved + dref idx
+        + bytes(16)                            # predefined/reserved
+        + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+        + bytes(46),                           # rest of VisualSampleEntry
+    )
+    return _fullbox(b"stsd", (1).to_bytes(4, "big") + entry)
+
+
+def _stsd_audio(codec: bytes) -> bytes:
+    entry = _box(codec, bytes(6) + (1).to_bytes(2, "big") + bytes(20))
+    return _fullbox(b"stsd", (1).to_bytes(4, "big") + entry)
+
+
+def _stsz(n: int) -> bytes:
+    return _fullbox(b"stsz", (0).to_bytes(4, "big") + n.to_bytes(4, "big"))
+
+
+def _trak(track_id, handler, mdhd_ts, mdhd_dur, stsd, n_samples,
+          tk_w=0, tk_h=0, lang="und"):
+    stbl = _box(b"stbl", stsd + _stsz(n_samples))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", _mdhd(mdhd_ts, mdhd_dur, lang) + _hdlr(handler) + minf)
+    return _box(b"trak", _tkhd(track_id, tk_w, tk_h) + mdia)
+
+
+def _mp4_fixture() -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomavc1")
+    v = _trak(1, b"vide", 30000, 90000, _stsd_video(b"avc1", 640, 360), 90)
+    a = _trak(2, b"soun", 48000, 144000, _stsd_audio(b"mp4a"), 140, lang="eng")
+    moov = _box(b"moov", _mvhd(1000, 3000) + v + a)
+    mdat = _box(b"mdat", b"\x00" * 64)
+    return ftyp + moov + mdat
+
+
+def test_mp4_box_walk_full_fixture():
+    from audio_feature_extraction_spark.multimodal.mp4 import parse_mp4
+
+    info = parse_mp4(_mp4_fixture())
+    assert info.major_brand == "isom"
+    assert info.timescale == 1000 and info.duration_s == 3.0
+    assert info.n_tracks == 2
+    assert info.video_codec == "avc1" and info.audio_codec == "mp4a"
+    assert (info.width, info.height) == (640, 360)
+    v, a = info.tracks
+    assert v.kind == "video" and v.n_samples == 90
+    assert v.duration_s == 3.0 and v.timescale == 30000
+    assert a.kind == "audio" and a.timescale == 48000
+    assert a.language == "eng" and a.duration_s == 3.0
+    assert a.n_samples == 140
+
+
+def test_mp4_largesize_and_corruption():
+    from audio_feature_extraction_spark.multimodal.mp4 import (
+        Mp4Error,
+        parse_mp4,
+    )
+
+    # 64-bit largesize mdat parses
+    ftyp = _box(b"ftyp", b"isom" + bytes(4))
+    moov = _box(b"moov", _mvhd(600, 1200) + _trak(
+        1, b"vide", 600, 1200, _stsd_video(b"av01", 8, 8), 2))
+    big = _box(b"mdat", bytes(32), large=True)
+    info = parse_mp4(ftyp + moov + big)
+    assert info.duration_s == 2.0 and info.video_codec == "av01"
+
+    # overrunning box size raises, truncation raises, non-mp4 raises
+    blob = bytearray(ftyp + moov)
+    blob[len(ftyp)] = 0xFF  # moov size becomes enormous
+    with pytest.raises(Mp4Error, match="overruns"):
+        parse_mp4(bytes(blob))
+    with pytest.raises(Mp4Error):
+        parse_mp4((ftyp + moov)[:-7])
+    with pytest.raises(Mp4Error, match="ftyp"):
+        parse_mp4(b"\x00" * 32)
+    with pytest.raises(Mp4Error, match="moov"):
+        parse_mp4(ftyp + _box(b"mdat", bytes(8)))
+
+
+def test_probe_recognizes_mp4():
+    from audio_feature_extraction_spark.multimodal.probe import probe_payload
+
+    meta = probe_payload(_mp4_fixture())
+    assert meta["container"] == "mp4"
+    assert meta["codec"] == "avc1"
+    assert meta["width"] == 640 and meta["height"] == 360
+    assert meta["duration_s"] == 3.0
+    assert meta["n_frames"] == 90
+    assert meta["sample_rate"] == 48000
