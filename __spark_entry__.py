@@ -939,8 +939,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two semantic-dedup candidate policies over one (id_a, id_b,
+    cosine) schema: LSH bucket-restricted pairs, and SemDeDup
+    cluster-restricted dominance pairs (lowest same-cluster dominator
+    per dropped vector)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_near_dups(emb, threshold=0.2)
+    return _variant_union(
+        [
+            ("lsh", similarity.embedding_near_dups(emb, threshold=0.2)),
+            ("semdedup", similarity.semdedup_pairs(emb, threshold=0.2)),
+        ]
+    )
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,9 +996,23 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _csv_cols(
-        textstats.doc_features(load_token_sequences(spark, sf_dir)), "doc_histogram"
+    """Per-doc token features, two variants in one (doc_id, vals_csv)
+    schema: the hashed token histogram, and the weakly-supervised
+    Naive-Bayes quality score (label,score_micro,predicted)."""
+    ts = load_token_sequences(spark, sf_dir)
+    hist = _csv_cols(textstats.doc_features(ts), "doc_histogram").select(
+        "doc_id", F.col("doc_histogram_csv").alias("vals_csv")
     )
+    nb = textstats.nb_quality(ts).select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.col("weak_label").cast("string"),
+            F.col("nb_score_micro").cast("string"),
+            F.col("predicted").cast("string"),
+        ).alias("vals_csv"),
+    )
+    return _variant_union([("histogram", hist), ("nb_quality", nb)])
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,6 +1764,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": similarity.embedding_near_dups_oracle_sql(
             threshold=0.2
         ),
+        "semdedup_pairs": similarity.semdedup_pairs_oracle_sql(threshold=0.2),
+        "nb_quality": (
+            f"{_tok_cte()}, "
+            f"{textstats.nb_quality_oracle_sql(final_cte='nbq')} "
+            f"SELECT doc_id, CAST(weak_label AS VARCHAR) || ',' || "
+            f"CAST(nb_score_micro AS VARCHAR) || ',' || "
+            f"CAST(predicted AS VARCHAR) AS vals_csv FROM nbq"
+        ),
         "text_profile": textstats.text_profile_oracle_sql(),
         "fingerprints": f"{_tok_cte()} {textstats.fingerprints_oracle_sql()}",
         "length_histogram": (
@@ -1884,7 +1915,16 @@ def oracle_sql() -> dict[str, str]:
         "mel_mfcc": _variant_union_sql([("mel", mel_rn), ("mfcc", mfcc_rn)]),
         "frame_descriptors": leaf["frame_descriptors"],
         "frame_deltas": leaf["frame_deltas"],
-        "doc_features": leaf["doc_features"],
+        "doc_features": _variant_union_sql(
+            [
+                (
+                    "histogram",
+                    f"SELECT doc_id, doc_histogram_csv AS vals_csv "
+                    f"FROM ({leaf['doc_features']}) _dfh",
+                ),
+                ("nb_quality", leaf["nb_quality"]),
+            ]
+        ),
         "gram_stats": (
             f"SELECT 'vocab' AS kind, CAST(token AS INTEGER) AS t1, "
             f"CAST(-1 AS INTEGER) AS t2, freq FROM ({leaf['vocab_stats']}) _v "
@@ -2002,6 +2042,11 @@ def oracle_sql() -> dict[str, str]:
         "contamination": leaf["contamination"],
         "corpus_mix": leaf["corpus_mix"],
         "pack_blocks": leaf["pack_blocks"],
-        "embedding_near_dups": leaf["embedding_near_dups"],
+        "embedding_near_dups": _variant_union_sql(
+            [
+                ("lsh", leaf["embedding_near_dups"]),
+                ("semdedup", leaf["semdedup_pairs"]),
+            ]
+        ),
         "text_profile": leaf["text_profile"],
     }

@@ -906,6 +906,117 @@ def embedding_near_dups_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-threshold semantic dedup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+# The LSH near-dup pass (embedding_near_dups) restricts candidate pairs
+# by hash-bucket collision; SemDeDup restricts them by CLUSTER
+# membership instead: k-means the embeddings, then inside each cluster
+# drop every vector that has a sufficiently-cosine-similar neighbor
+# with a lower id. Clustering concentrates semantic near-dups into the
+# same cell far more reliably than random hyperplanes at equal candidate
+# budget, at the price of the assignment pass.
+#
+# Engine formulation (everything closed-form so DuckDB can twin it):
+# the coarse quantizer is the deterministic one-step k-medoids init
+# shared with ivf_topk_pivots (n_clusters lowest-id vectors), and the
+# "semantic duplicate" rule is dominance — vector b is dropped iff some
+# same-cluster a < b has cosine(a, b) >= threshold; the emitted row is
+# (a*, b, cosine) with a* the LOWEST dominating id, so the output is
+# exactly one row per dropped vector and the survivor set is
+# {all ids} \ {id_b}. (The full transitive-closure grouping is
+# connected_components in operators/dedup.py — dominance is the
+# one-pass SemDeDup policy, closure is the strict-grouping policy.)
+#
+# 100 TB shape: the centroid table broadcasts (one array-typed row);
+# assignment is a narrow per-row expression (zero shuffle); the only
+# exchange is the self-join keyed on cluster id. Cluster population is
+# the knob that bounds the quadratic term — at corpus scale you run
+# n_clusters ~ sqrt(n) (SemDeDup used 50k clusters for LAION-scale), so
+# per-cell pair counts stay ~O(n) total; a hot cell is visible in the
+# assignment histogram before the join runs (same accounting as the LSH
+# bucket caps).
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per semantically-dropped vector: (id_a, id_b, cosine)
+    where ``id_a`` is the lowest same-cluster dominator of ``id_b``."""
+    cents = emb.where(F.col(id_col) < n_clusters).select(
+        F.col(id_col).cast("int").alias("l"),
+        F.col(vec_col).cast("array<double>").alias("c"),
+    )
+    cent_arr = F.broadcast(
+        cents.agg(F.array_sort(F.collect_list(F.struct("l", "c"))).alias("_cents"))
+    )
+    ranked = (
+        "array_sort(transform(_cents, ct -> "
+        f"struct({_sqdist_expr(vec_col, 'ct.c', True)} AS d, ct.l AS l)))"
+    )
+    assigned = (
+        emb.crossJoin(cent_arr)
+        .withColumn("_cl", F.expr(f"element_at({ranked}, 1).l"))
+        .select(id_col, vec_col, "_cl")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a._cl") == F.col("b._cl"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(cosine_expr("va", "vb", spark=True)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("id_b").orderBy("id_a")
+    return (
+        dup.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semdedup_pairs_oracle_sql(
+    threshold: float = 0.2,
+    n_clusters: int = 16,
+    from_clause: str = "embeddings",
+) -> str:
+    dist = _sqdist_expr("e.embedding", "ct.c", False)
+    cos = cosine_expr("a.embedding", "b.embedding", spark=False)
+    return (
+        f"WITH sd_cents AS (SELECT list(struct_pack("
+        f"l := CAST(vec_id AS INTEGER), c := CAST(embedding AS DOUBLE[])) "
+        f"ORDER BY vec_id) AS _cents "
+        f"FROM {from_clause} WHERE vec_id < {n_clusters}), "
+        f"sd_asg AS (SELECT e.vec_id, e.embedding, "
+        f"(list_sort(list_transform(_cents, ct -> "
+        f"struct_pack(d := {dist}, l := ct.l)))[1]).l AS _cl "
+        f"FROM {from_clause} e CROSS JOIN sd_cents), "
+        f"sd_dup AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"{cos} AS cosine "
+        f"FROM sd_asg a JOIN sd_asg b ON a._cl = b._cl "
+        f"AND a.vec_id < b.vec_id WHERE {cos} >= {threshold}), "
+        f"sd_rk AS (SELECT *, row_number() OVER "
+        f"(PARTITION BY id_b ORDER BY id_a) AS _rn FROM sd_dup) "
+        f"SELECT id_a, id_b, cosine FROM sd_rk WHERE _rn = 1"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory-compression ANN path
 # ---------------------------------------------------------------------------
 # At 10^9+ vectors the embedding column itself is the bottleneck: dim

@@ -416,3 +416,166 @@ def bigram_coverage_oracle_sql(
     if final_cte is None:
         return f"{base} {sel}"
     return f"{base}, {final_cte} AS ({sel})"
+
+
+# ---------------------------------------------------------------------------
+# Learned quality filter — weakly-supervised Naive Bayes over token buckets
+# ---------------------------------------------------------------------------
+# The heuristic filters above (quality_expr, repetition_stats,
+# bigram_coverage) are fixed rules; production corpus pipelines
+# (CCNet/fastText-style) additionally run a LEARNED quality classifier:
+# train a tiny model on weak labels, broadcast it, score every document.
+# This is that pipeline stage as a closed-form multinomial Naive Bayes:
+#
+# * weak label  = high-distinct-ratio heuristic (2*|distinct| >= n_tok)
+#   — the usual bootstrap where a cheap rule labels the training split;
+# * train split = the engine's deterministic affine doc split
+#   (operators/split.py arithmetic), so training composes with S11;
+# * features    = token ids hashed to NB_BUCKETS affine buckets
+#   (hashing-trick vocabulary, bounded model size);
+# * weights     = per-bucket add-one-smoothed log-odds, QUANTIZED to
+#   integer micro-nats (floor(1e6 * ln-odds)): ln is glibc-libm on both
+#   engines (Spark JVM == DuckDB, the _db_sql precedent) and floor of
+#   the same double is exact, so the per-doc score is an ORDER-FREE
+#   INTEGER SUM — fully hash-oracle-checkable, unlike a float log-prob
+#   sum whose distributed add order would diverge.
+#
+# 100 TB shape: training is one groupBy over exploded train-split tokens
+# with map-side partial agg onto NB_BUCKETS keys (the model reduces to
+# NB_BUCKETS rows + 2 scalar rows); scoring broadcasts that weight table
+# and is a narrow explode -> broadcast-join -> integer-sum per doc.
+# Exactly the "train small, score everywhere" scale pattern.
+
+NB_BUCKETS = 64
+NB_MULT = 37
+NB_OFF = 11
+# train predicate: operators/split.py affine bucket < 80 (the 'train' split)
+_NB_SPLIT = "(({id} * 9973 + 12345) % 100) < 80"
+_NB_LABEL = {
+    True: "case when size(array_distinct(tokens)) * 2 >= n_tok "
+    "then 1 else 0 end",
+    False: "CASE WHEN len(list_distinct(tokens)) * 2 >= n_tok "
+    "THEN 1 ELSE 0 END",
+}
+
+
+def _nb_weight_sql(c1: str, c0: str, n1: str, n0: str) -> str:
+    """Integer micro-nat log-odds weight — identical text both dialects."""
+    v = NB_BUCKETS
+    return (
+        f"CAST(floor(1000000.0 * ("
+        f"ln(CAST({c1} + 1 AS DOUBLE)) - ln(CAST({n1} + {v} AS DOUBLE)) - "
+        f"ln(CAST({c0} + 1 AS DOUBLE)) + ln(CAST({n0} + {v} AS DOUBLE))"
+        f")) AS BIGINT)"
+    )
+
+
+def _nb_prior_sql(d1: str, d0: str) -> str:
+    return (
+        f"CAST(floor(1000000.0 * ("
+        f"ln(CAST({d1} + 1 AS DOUBLE)) - ln(CAST({d0} + 1 AS DOUBLE))"
+        f")) AS BIGINT)"
+    )
+
+
+def nb_quality(tokseq: DataFrame) -> DataFrame:
+    """Train on the deterministic 'train' split, score EVERY doc.
+
+    Output: (doc_id, weak_label, nb_score_micro, predicted) — score in
+    integer micro-nats, predicted = score > 0. Docs with empty token
+    arrays drop out (explode semantics, same both engines).
+    """
+    v, a, b = NB_BUCKETS, NB_MULT, NB_OFF
+    num_id = "CAST(regexp_replace(doc_id, '[^0-9]', '') AS BIGINT)"
+    labeled = tokseq.withColumn("weak_label", F.expr(_NB_LABEL[True]))
+    train = labeled.where(F.expr(_NB_SPLIT.format(id=num_id)))
+    ex = train.select(
+        "weak_label", F.explode("tokens").alias("t")
+    ).withColumn("b", F.expr(f"(t * {a} + {b}) % {v}"))
+    counts = ex.groupBy("b").agg(
+        F.sum(F.expr("case when weak_label = 1 then 1 else 0 end")).alias("c1"),
+        F.sum(F.expr("case when weak_label = 0 then 1 else 0 end")).alias("c0"),
+    )
+    tot = ex.agg(
+        F.sum(F.expr("case when weak_label = 1 then 1 else 0 end")).alias("n1"),
+        F.sum(F.expr("case when weak_label = 0 then 1 else 0 end")).alias("n0"),
+    )
+    dtot = train.agg(
+        F.sum("weak_label").alias("d1"),
+        (F.count("*") - F.sum("weak_label")).alias("d0"),
+    )
+    grid = tot.select(
+        F.explode(F.expr(f"sequence(0, {v - 1})")).alias("b"), "n1", "n0"
+    )
+    wtab = (
+        grid.join(counts, "b", "left")
+        .withColumn(
+            "w",
+            F.expr(
+                _nb_weight_sql("coalesce(c1, 0)", "coalesce(c0, 0)", "n1", "n0")
+            ),
+        )
+        .select("b", "w")
+    )
+    pri = dtot.select(F.expr(_nb_prior_sql("d1", "d0")).alias("prior"))
+    exall = labeled.select(
+        "doc_id", "weak_label", F.explode("tokens").alias("t")
+    ).withColumn("b", F.expr(f"(t * {a} + {b}) % {v}"))
+    sc = (
+        exall.join(F.broadcast(wtab), "b")
+        .groupBy("doc_id", "weak_label")
+        .agg(F.sum("w").alias("sw"))
+    )
+    return sc.crossJoin(F.broadcast(pri)).select(
+        "doc_id",
+        "weak_label",
+        (F.col("prior") + F.col("sw")).cast("long").alias("nb_score_micro"),
+        F.expr(
+            "case when prior + sw > 0 then 1 else 0 end"
+        ).alias("predicted"),
+    )
+
+
+def nb_quality_oracle_sql(
+    from_clause: str = "tokseq", final_cte: str | None = None
+) -> str:
+    """DuckDB twin of :func:`nb_quality` as a CTE fragment."""
+    v, a, b = NB_BUCKETS, NB_MULT, NB_OFF
+    num_id = "CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
+    w = _nb_weight_sql("coalesce(c1, 0)", "coalesce(c0, 0)", "n1", "n0")
+    sel = (
+        "SELECT sc.doc_id AS doc_id, sc.weak_label AS weak_label, "
+        "CAST(pri.prior + sc.sw AS BIGINT) AS nb_score_micro, "
+        "CASE WHEN pri.prior + sc.sw > 0 THEN 1 ELSE 0 END AS predicted "
+        "FROM sc CROSS JOIN pri"
+    )
+    base = (
+        f"nb_lab AS (SELECT doc_id, tokens, "
+        f"{_NB_LABEL[False]} AS weak_label FROM {from_clause}), "
+        f"nb_tr AS (SELECT * FROM nb_lab "
+        f"WHERE {_NB_SPLIT.format(id=num_id)}), "
+        f"nb_ex AS (SELECT weak_label, (u.t * {a} + {b}) % {v} AS b "
+        f"FROM nb_tr, unnest(nb_tr.tokens) AS u(t)), "
+        f"cts AS (SELECT b, "
+        f"sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS c1, "
+        f"sum(CASE WHEN weak_label = 0 THEN 1 ELSE 0 END) AS c0 "
+        f"FROM nb_ex GROUP BY b), "
+        f"tot AS (SELECT "
+        f"sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS n1, "
+        f"sum(CASE WHEN weak_label = 0 THEN 1 ELSE 0 END) AS n0 "
+        f"FROM nb_ex), "
+        f"dtot AS (SELECT sum(weak_label) AS d1, "
+        f"count(*) - sum(weak_label) AS d0 FROM nb_tr), "
+        f"wt AS (SELECT g.b, {w} AS w FROM "
+        f"(SELECT unnest(range(0, {v})) AS b) g CROSS JOIN tot "
+        f"LEFT JOIN cts ON g.b = cts.b), "
+        f"pri AS (SELECT {_nb_prior_sql('d1', 'd0')} AS prior FROM dtot), "
+        f"nb_exall AS (SELECT doc_id, weak_label, "
+        f"(u.t * {a} + {b}) % {v} AS b "
+        f"FROM nb_lab, unnest(nb_lab.tokens) AS u(t)), "
+        f"sc AS (SELECT doc_id, weak_label, sum(w) AS sw "
+        f"FROM nb_exall JOIN wt USING (b) GROUP BY 1, 2)"
+    )
+    if final_cte is None:
+        return f"WITH {base} {sel}" if from_clause != "tokseq" else f"{base} {sel}"
+    return f"{base}, {final_cte} AS ({sel})"

@@ -835,3 +835,152 @@ def test_pq_trained_codebook_deterministic_and_exact(spark):
         ).collect()
     }
     assert expr_path == kern_path and len(expr_path) > 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-threshold dominance dedup)
+# ---------------------------------------------------------------------------
+
+def _np_semdedup(emb_rows, threshold, n_clusters):
+    """Pure-numpy witness of the semdedup dominance rule."""
+    import numpy as np
+
+    ids = np.array([r[0] for r in emb_rows])
+    vecs = np.array([r[1] for r in emb_rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    cents = vecs[ids < n_clusters]
+    cent_ids = ids[ids < n_clusters]
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    # ties -> lowest centroid id (cent_ids sorted ascending)
+    cl = cent_ids[np.argmin(d, axis=1)]
+    norms = np.sqrt((vecs**2).sum(axis=1))
+    pairs = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cl[i] != cl[j]:
+                continue
+            cos = float(vecs[i] @ vecs[j] / (norms[i] * norms[j]))
+            if cos >= threshold and ids[j] not in pairs:
+                pairs[int(ids[j])] = (int(ids[i]), cos)
+    return pairs
+
+
+def test_semdedup_matches_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    got = {
+        r.id_b: (r.id_a, r.cosine)
+        for r in similarity.semdedup_pairs(
+            emb, threshold=0.2, n_clusters=8
+        ).collect()
+    }
+    want = _np_semdedup(rows, 0.2, 8)
+    assert set(got) == set(want)
+    for b, (a, cos) in want.items():
+        assert got[b][0] == a
+        assert abs(got[b][1] - cos) < 1e-9
+
+
+def test_semdedup_one_row_per_dropped_and_survivors(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    out = similarity.semdedup_pairs(emb, threshold=0.2, n_clusters=16)
+    rows = out.collect()
+    dropped = [r.id_b for r in rows]
+    assert len(dropped) == len(set(dropped))     # exactly one row per drop
+    for r in rows:
+        assert r.id_a < r.id_b and r.cosine >= 0.2
+    # survivor set is everything minus the dropped ids
+    assert n - len(dropped) > 0
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes quality classifier
+# ---------------------------------------------------------------------------
+
+def _np_nb_quality(tok_rows):
+    """Pure-python witness (math.log == glibc libm == both engines)."""
+    import math
+
+    V, A, B = (
+        textstats.NB_BUCKETS,
+        textstats.NB_MULT,
+        textstats.NB_OFF,
+    )
+    labeled = []
+    for doc_id, tokens in tok_rows:
+        lab = 1 if len(set(tokens)) * 2 >= len(tokens) else 0
+        labeled.append((doc_id, tokens, lab))
+    train = [
+        (d, t, l)
+        for d, t, l in labeled
+        if (int("".join(ch for ch in d if ch.isdigit())) * 9973 + 12345) % 100 < 80
+    ]
+    c = {(lab, b): 0 for lab in (0, 1) for b in range(V)}
+    n1 = n0 = d1 = d0 = 0
+    for _, tokens, lab in train:
+        if lab:
+            d1 += 1
+        else:
+            d0 += 1
+        for t in tokens:
+            c[(lab, (t * A + B) % V)] += 1
+            if lab:
+                n1 += 1
+            else:
+                n0 += 1
+    w = {
+        b: math.floor(
+            1e6
+            * (
+                math.log(c[(1, b)] + 1)
+                - math.log(n1 + V)
+                - math.log(c[(0, b)] + 1)
+                + math.log(n0 + V)
+            )
+        )
+        for b in range(V)
+    }
+    prior = math.floor(1e6 * (math.log(d1 + 1) - math.log(d0 + 1)))
+    out = {}
+    for doc_id, tokens, lab in labeled:
+        if not tokens:
+            continue
+        s = prior + sum(w[(t * A + B) % V] for t in tokens)
+        out[doc_id] = (lab, s, 1 if s > 0 else 0)
+    return out
+
+
+def test_nb_quality_matches_python_witness(spark):
+    from audio_feature_extraction_spark.sources.tokens import (
+        load_token_sequences,
+    )
+
+    ts = load_token_sequences(spark, SF)
+    tok_rows = [(r.doc_id, list(r.tokens)) for r in ts.collect()]
+    got = {
+        r.doc_id: (r.weak_label, r.nb_score_micro, r.predicted)
+        for r in textstats.nb_quality(ts).collect()
+    }
+    want = _np_nb_quality(tok_rows)
+    assert got == want
+
+
+def test_nb_quality_learns_separable_signal(spark):
+    # class 1: all-distinct tokens from a low range; class 0: heavy
+    # repetition from a high range -> buckets separate the classes and
+    # the learned scores should recover the weak labels almost exactly.
+    seqs = []
+    for i in range(60):
+        if i % 2 == 0:
+            seqs.append(list(range(100 + i, 100 + i + 20)))       # distinct
+        else:
+            seqs.append([20000 + i] * 20)                         # repeated
+    ts = _mkdf(spark, seqs)
+    out = textstats.nb_quality(ts).collect()
+    assert len(out) == 60
+    agree = sum(1 for r in out if r.predicted == r.weak_label)
+    assert agree >= 54   # >= 90% on a cleanly separable corpus

@@ -324,3 +324,29 @@ def test_contamination_semi_prefilter_is_broadcast_pushed(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "LeftSemi" in plan and "BroadcastExchange" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round5_ops_plan_shapes(spark):
+    """Round-5 operators keep the 100 TB shapes."""
+    from audio_feature_extraction_spark.operators import similarity, textstats
+
+    # SemDeDup: centroid table broadcasts as ONE array-typed row; the
+    # only real exchange keys on the cluster id (the self-join); never
+    # a cartesian pair scan
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sd = similarity.semdedup_pairs(emb, threshold=0.2, n_clusters=16)
+    plan = _plan(sd)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan          # centroid row
+    assert "_cl#" in plan                       # pair join keyed on cluster
+    assert "BatchEvalPython" not in plan        # pure JVM
+
+    # NB quality: the trained weight table joins BROADCAST into the
+    # scoring explode (train small, score everywhere); no cartesian
+    # beyond the 1-row prior attach; all-JVM
+    ts = load_token_sequences(spark, SF)
+    nb = textstats.nb_quality(ts)
+    nplan = _plan(nb)
+    assert "BroadcastHashJoin" in nplan         # weight-table join
+    assert "CartesianProduct" not in nplan
+    assert "BatchEvalPython" not in nplan
