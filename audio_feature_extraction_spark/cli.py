@@ -165,6 +165,8 @@ def cmd_prepare_corpus(args) -> int:
         jaccard_threshold=args.threshold,
         resume_dir=args.resume_dir,
         substring_k=args.substring_k,
+        semdedup_threshold=args.semdedup_threshold,
+        nb_min_score=args.nb_min_score,
     )
     mixed, blocks, report = corpus.prepare_corpus(spark, args.input, cfg)
     mixed.write.mode("overwrite").parquet(f"{args.output}/corpus")
@@ -413,6 +415,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--substring-k", type=int, default=None,
                     help="enable substring dedup: cut every span whose "
                     "k-token gram repeats anywhere in the corpus")
+    sp.add_argument("--semdedup-threshold", type=float, default=None,
+                    help="enable SemDeDup semantic dedup: drop docs "
+                    "whose embedding has a same-cluster cosine>=T "
+                    "lower-id dominator")
+    sp.add_argument("--nb-min-score", type=int, default=None,
+                    help="enable the learned Naive-Bayes quality "
+                    "filter: drop docs scoring below this bound "
+                    "(integer micro-nats; 0 = predicted low quality)")
     sp.set_defaults(fn=cmd_prepare_corpus)
 
     args = p.parse_args(argv)

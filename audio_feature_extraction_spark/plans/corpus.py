@@ -8,7 +8,13 @@ run executes, in the canonical order:
                        verify -> greedy keep-lowest-id survivor)
 2b. substring dedup   (optional: cut duplicated k-gram spans inside the
                        survivors — the ExactSubstr pass; off by default)
+2c. semantic dedup    (optional: SemDeDup over the embeddings table —
+                       drop docs dominated by a same-cluster cosine
+                       near-duplicate; off by default)
 3. quality filter     (Gopher-style repetition rules + minimum length)
+3b. learned filter    (optional: Naive-Bayes quality score trained on
+                       the corpus's own deterministic 'train' split;
+                       off by default)
 4. decontamination    (drop TRAIN docs sharing 8-gram shingles with the
                        held-out test split)
 5. corpus mixing      (per-source rates with upsampling epochs)
@@ -64,6 +70,17 @@ class CorpusConfig:
     # survivors; docs emptied by the cut are dropped. None = off.
     substring_k: int | None = None
     substring_min_count: int = 2
+    # SemDeDup semantic dedup over the embeddings table (stage 2c):
+    # set a cosine threshold to drop every doc whose embedding has a
+    # same-cluster dominator (docs without an embedding row are
+    # untouched — embeddings may cover a corpus subset). None = off.
+    semdedup_threshold: float | None = None
+    semdedup_clusters: int = 16
+    # learned quality filter (stage 3b): drop docs whose Naive-Bayes
+    # quality score (integer micro-nats, textstats.nb_quality) falls
+    # below this bound; the model trains on the pipeline's own
+    # deterministic 'train' split. None = off; 0 = drop predicted-low.
+    nb_min_score: int | None = None
     # per-stage row counts in the report. Each count materializes the
     # chain-so-far, so accounting caches every stage (persist + count,
     # released once the next stage lands). accounting=False skips the
@@ -87,6 +104,7 @@ def prepare_corpus(
     cfg: CorpusConfig | None = None,
     docs: DataFrame | None = None,
     tokseq: DataFrame | None = None,
+    emb: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Run the 6-stage pipeline; returns (kept token sequences with
     epochs, packed-block manifest, per-stage report dict).
@@ -180,6 +198,26 @@ def prepare_corpus(
             "after_substring_dedup",
         )
 
+    # 2c. semantic dedup (optional, SemDeDup): drop docs whose
+    # embedding is dominated by a same-cluster lower-id near-duplicate
+    if cfg.semdedup_threshold is not None:
+        from audio_feature_extraction_spark.operators import similarity
+
+        if emb is None:
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sem_drop = similarity.semdedup_pairs(
+            emb,
+            threshold=cfg.semdedup_threshold,
+            n_clusters=cfg.semdedup_clusters,
+        ).select(
+            F.concat(F.lit("doc_"), F.col("id_b").cast("string")).alias(
+                "doc_id"
+            )
+        )
+        ts = stage(
+            ts.join(sem_drop, "doc_id", "left_anti"), "after_semantic_dedup"
+        )
+
     # 3. quality filter: repetition + minimum length
     rep = textstats.repetition_stats(docs)
     bad_quality = rep.where(
@@ -190,6 +228,17 @@ def prepare_corpus(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id")
     )
     ts = stage(ts.join(bad_quality, "doc_id", "left_anti"), "after_quality")
+
+    # 3b. learned quality filter (optional): Naive-Bayes score over
+    # hashed token buckets, trained on this corpus's own deterministic
+    # 'train' split; drops docs scoring below the bound
+    if cfg.nb_min_score is not None:
+        nb_drop = textstats.nb_quality(ts).where(
+            F.col("nb_score_micro") < cfg.nb_min_score
+        ).select("doc_id")
+        ts = stage(
+            ts.join(nb_drop, "doc_id", "left_anti"), "after_nb_quality"
+        )
 
     # 4. decontamination: drop TRAIN docs sharing shingles with TEST
     tagged = split.assign_split(ts, "doc_id")

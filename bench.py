@@ -45,6 +45,7 @@ def run_queries(
     from audio_feature_extraction_spark.core.config import FrameSpec
     from audio_feature_extraction_spark.operators import (
         asof, dedup, framing, inverse, sessionize, similarity, temporal,
+        textstats,
     )
     from audio_feature_extraction_spark.sources.tokens import load_token_sequences
 
@@ -225,6 +226,18 @@ def run_queries(
             lambda: _noop(
                 similarity.lsh_topk(emb, emb.where(F.expr("vec_id % 20 = 0")), k=5)
             ),
+        )
+        # round-5 ops: cluster-restricted semantic dedup and the
+        # learned NB quality filter (train + score in one plan)
+        timed(
+            "semdedup",
+            lambda: _noop(
+                similarity.semdedup_pairs(emb, threshold=0.2, n_clusters=64)
+            ),
+        )
+        timed(
+            "nb_quality",
+            lambda: _noop(textstats.nb_quality(amplified)),
         )
     total = round(sum(timings.values()), 3)
     # frozen cross-round comparison set (VERDICT r04 #7): the nine

@@ -274,3 +274,75 @@ def test_prepare_corpus_substring_stage(spark):
     assert out["doc_0"] == 28 and out["doc_1"] == 28
     assert out["doc_3"] == 30
     assert "doc_2" not in out
+
+
+def test_prepare_corpus_semdedup_and_nb_stages(spark):
+    """Stage 2c (SemDeDup) drops the planted embedding near-dup; stage
+    3b (NB quality) drops exactly the docs scoring below the bound."""
+    from pyspark.sql import functions as F
+
+    from audio_feature_extraction_spark.operators import textstats
+    from audio_feature_extraction_spark.plans import corpus
+    from audio_feature_extraction_spark.sources.tokens import tokenize_expr
+
+    def words(seed, n):
+        return " ".join(
+            chr(97 + (seed * 5 + i * 3) % 26)
+            + "x" * ((seed * 3 + i) % 7)
+            + chr(97 + (seed * 11 + i * 7) % 26)
+            for i in range(n)
+        )
+
+    rows = [(i, words(i, 30), "en", "web", 0) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    toks = tokenize_expr()
+    tokseq = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        "source",
+    )
+    # embeddings: orthogonal-ish basis vectors except 7 ≈ 3 (dominated)
+    dim = 32
+    def basis(i, eps=0.0):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        v[(i + 1) % dim] = eps
+        return v
+
+    emb_rows = [(i, basis(i)) for i in range(20)]
+    emb_rows[7] = (7, basis(3, eps=0.01))           # near-copy of vec 3
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+
+    mixed, _blocks, report = corpus.prepare_corpus(
+        spark, "",
+        cfg=corpus.CorpusConfig(
+            block_len=64, semdedup_threshold=0.95, semdedup_clusters=4
+        ),
+        docs=docs, tokseq=tokseq, emb=emb,
+    )
+    kept = {r.doc_id for r in mixed.select("doc_id").distinct().collect()}
+    assert "doc_7" not in kept                      # dominated by doc_3
+    assert "doc_3" in kept
+    assert report["after_semantic_dedup"] == report["after_near_dedup"] - 1
+
+    # NB stage: pick a bound that splits the planted corpus, assert the
+    # pipeline drops exactly the docs the operator scores below it
+    scores = {
+        r.doc_id: r.nb_score_micro
+        for r in textstats.nb_quality(tokseq).collect()
+    }
+    bound = sorted(scores.values())[len(scores) // 2]
+    low = {d for d, s in scores.items() if s < bound}
+    mixed2, _b2, rep2 = corpus.prepare_corpus(
+        spark, "",
+        cfg=corpus.CorpusConfig(block_len=64, nb_min_score=bound),
+        docs=docs, tokseq=tokseq,
+    )
+    kept2 = {r.doc_id for r in mixed2.select("doc_id").distinct().collect()}
+    assert kept2.isdisjoint(low)
+    assert rep2["after_nb_quality"] == rep2["after_quality"] - len(
+        low & {f"doc_{i}" for i in range(20)}
+    )

@@ -596,3 +596,101 @@ def test_stream_pit_disorder_no_leakage_and_integrity(spark, scenario):
             ).collect()
         }
         assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup dominance pairs == pure-python witness on random embeddings
+# ---------------------------------------------------------------------------
+
+_sd_embs = st.lists(
+    st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _py_cos(a, b):
+    """Sequential left-fold cosine — the engines' exact fold order."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+@settings(max_examples=20, deadline=None)
+@given(embs=_sd_embs)
+def test_semdedup_matches_python_witness(spark, embs):
+    from audio_feature_extraction_spark.operators import similarity
+
+    # no zero vectors (cosine undefined); keep values integral so every
+    # distance/cosine is an exact small rational in double
+    embs = [e if any(e) else [1] + e[1:] for e in embs]
+    n_clusters, threshold = 3, 0.5
+    rows = [(i, [float(x) for x in e]) for i, e in enumerate(embs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.id_b: (r.id_a, r.cosine)
+        for r in similarity.semdedup_pairs(
+            emb, threshold=threshold, n_clusters=n_clusters
+        ).collect()
+    }
+
+    # witness: assign to nearest of the first-n_clusters vectors
+    # (sequential-fold sqdist, ties -> lowest centroid id), then
+    # dominance with the same fold-order cosine
+    cents = [(i, e) for i, e in enumerate(embs) if i < n_clusters]
+
+    def sqd(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (float(x) - float(y)) ** 2
+        return s
+
+    cl = [min(cents, key=lambda c: (sqd(e, c[1]), c[0]))[0] for e in embs]
+    want = {}
+    for i in range(len(embs)):
+        for j in range(i + 1, len(embs)):
+            if cl[i] != cl[j] or j in want:
+                continue
+            if _py_cos(embs[i], embs[j]) >= threshold:
+                want[j] = i
+    assert {b: a for b, (a, _) in got.items()} == want
+    for b, (a, cos) in got.items():
+        assert cos == _py_cos(embs[a], embs[b])
+
+
+# ---------------------------------------------------------------------------
+# NB quality == pure-python witness on random corpora
+# ---------------------------------------------------------------------------
+
+_nb_corpora = st.lists(
+    st.lists(st.integers(0, 32767), min_size=0, max_size=40),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seqs=_nb_corpora)
+def test_nb_quality_matches_python_witness_property(spark, seqs):
+    from audio_feature_extraction_spark.operators import textstats
+    from tests.test_dedup_similarity import _np_nb_quality
+
+    rows = [(f"doc_{i}", t, len(t), "web") for i, t in enumerate(seqs)]
+    ts = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    got = {
+        r.doc_id: (r.weak_label, r.nb_score_micro, r.predicted)
+        for r in textstats.nb_quality(ts).collect()
+    }
+    want = _np_nb_quality([(f"doc_{i}", t) for i, t in enumerate(seqs)])
+    assert got == want
