@@ -937,51 +937,135 @@ def embedding_near_dups_oracle_sql(
 # bucket caps).
 
 
+def semdedup_assign_kernel(
+    emb: DataFrame,
+    n_clusters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-kernel twin of the semdedup assignment expression —
+    (id, vec, _cl) rows, bit-identical doubles.
+
+    Each centroid squared distance accumulates as a SEQUENTIAL left
+    fold over dimensions ((x-y)^2 rounded once, then one add —
+    vectorized across rows and centroids, exactly the SQL
+    ``aggregate(zip_with(...))`` rounding sequence), and ``np.argmin``'s
+    first-occurrence rule over the l-ascending centroid matrix matches
+    the expression's ``array_sort(struct(d, l))`` tie-break. The
+    centroid table is collected driver-side — bounded by ``n_clusters``
+    rows by construction, the same contract as the PQ codebook.
+    ``dim`` must equal the vector length (the expression twin folds the
+    whole array; the kernel folds exactly ``dim``)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(
+        emb.where(F.col(id_col) < n_clusters)
+        .select(
+            F.col(id_col).cast("int").alias("l"),
+            F.col(vec_col).cast("array<double>").alias("c"),
+        )
+        .collect(),
+        key=lambda r: r.l,
+    )
+    C0 = np.stack([np.asarray(r.c, dtype=np.float64) for r in cents])
+    ls0 = np.array([r.l for r in cents], dtype=np.int32)
+    bc = emb.sparkSession.sparkContext.broadcast((C0, ls0))
+
+    def run(batches):
+        C, ls = bc.value
+        k = C.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V, valid = _stack_fixed(pdf[vec_col], dim)
+            if not valid.all():
+                pdf = pdf[valid].reset_index(drop=True)
+                V = V[valid]
+            if not len(pdf):
+                continue
+            D = np.zeros((len(V), k), dtype=np.float64)
+            for i in range(dim):
+                diff = V[:, i : i + 1] - C[:, i][None, :]
+                D += diff * diff
+            idx = np.argmin(D, axis=1)       # first min -> lowest l
+            out = pdf[[id_col, vec_col]].copy()
+            out["_cl"] = ls[idx]
+            yield out
+
+    id_type = dict(emb.dtypes)[id_col]
+    vec_type = dict(emb.dtypes)[vec_col]
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, _cl int"
+    )
+
+
 def semdedup_pairs(
     emb: DataFrame,
     threshold: float = 0.2,
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    use_kernel: bool = True,
+    score_kernel: bool = False,
 ) -> DataFrame:
     """One row per semantically-dropped vector: (id_a, id_b, cosine)
-    where ``id_a`` is the lowest same-cluster dominator of ``id_b``."""
-    cents = emb.where(F.col(id_col) < n_clusters).select(
-        F.col(id_col).cast("int").alias("l"),
-        F.col(vec_col).cast("array<double>").alias("c"),
-    )
-    cent_arr = F.broadcast(
-        cents.agg(F.array_sort(F.collect_list(F.struct("l", "c"))).alias("_cents"))
-    )
-    ranked = (
-        "array_sort(transform(_cents, ct -> "
-        f"struct({_sqdist_expr(vec_col, 'ct.c', True)} AS d, ct.l AS l)))"
-    )
-    assigned = (
-        emb.crossJoin(cent_arr)
-        .withColumn("_cl", F.expr(f"element_at({ranked}, 1).l"))
-        .select(id_col, vec_col, "_cl")
-    )
+    where ``id_a`` is the lowest same-cluster dominator of ``id_b``.
+
+    ``use_kernel`` routes the assignment pass through the Arrow kernel
+    (bit-identical, tested — the interpreted n_clusters×dim HOF
+    expression dominates the wall clock otherwise, like MinHash/LSH
+    before their kernels); ``score_kernel`` does the same for the pair
+    cosines via :func:`cosine_scores_kernel`. ``dim=None`` probes the
+    vector width from one row (driver-side, O(1))."""
+    if dim is None and (use_kernel or score_kernel):
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first.d) if first is not None else 0
+    if use_kernel:
+        assigned = semdedup_assign_kernel(
+            emb, n_clusters, dim, id_col, vec_col
+        )
+    else:
+        cents = emb.where(F.col(id_col) < n_clusters).select(
+            F.col(id_col).cast("int").alias("l"),
+            F.col(vec_col).cast("array<double>").alias("c"),
+        )
+        cent_arr = F.broadcast(
+            cents.agg(
+                F.array_sort(F.collect_list(F.struct("l", "c"))).alias("_cents")
+            )
+        )
+        ranked = (
+            "array_sort(transform(_cents, ct -> "
+            f"struct({_sqdist_expr(vec_col, 'ct.c', True)} AS d, ct.l AS l)))"
+        )
+        assigned = (
+            emb.crossJoin(cent_arr)
+            .withColumn("_cl", F.expr(f"element_at({ranked}, 1).l"))
+            .select(id_col, vec_col, "_cl")
+        )
     a, b = assigned.alias("a"), assigned.alias("b")
-    dup = (
-        a.join(
-            b,
-            (F.col("a._cl") == F.col("b._cl"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
-        )
-        .select(
+    pairs = a.join(
+        b,
+        (F.col("a._cl") == F.col("b._cl"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("va"),
+        F.col(f"b.{vec_col}").alias("vb"),
+    )
+    if score_kernel:
+        scored = cosine_scores_kernel(pairs, "va", "vb", dim)
+    else:
+        scored = pairs.select(
             "id_a",
             "id_b",
             F.expr(cosine_expr("va", "vb", spark=True)).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
-    )
+    dup = scored.where(F.col("cosine") >= threshold)
     w = Window.partitionBy("id_b").orderBy("id_a")
     return (
         dup.withColumn("_rn", F.row_number().over(w))

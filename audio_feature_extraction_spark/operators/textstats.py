@@ -478,12 +478,15 @@ def _nb_prior_sql(d1: str, d0: str) -> str:
     )
 
 
-def nb_quality(tokseq: DataFrame) -> DataFrame:
-    """Train on the deterministic 'train' split, score EVERY doc.
+def nb_train(tokseq: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fit the NB model on the deterministic 'train' split.
 
-    Output: (doc_id, weak_label, nb_score_micro, predicted) — score in
-    integer micro-nats, predicted = score > 0. Docs with empty token
-    arrays drop out (explode semantics, same both engines).
+    Returns ``(wtab, pri)``: the per-bucket weight table
+    (b int, w bigint — all NB_BUCKETS rows, unseen buckets get the
+    smoothed default) and the one-row class prior (prior bigint). Both
+    are tiny lazy plans — persist/write them to reuse one trained model
+    across scoring runs (feature-store style), or feed them straight to
+    :func:`nb_score`.
     """
     v, a, b = NB_BUCKETS, NB_MULT, NB_OFF
     num_id = "CAST(regexp_replace(doc_id, '[^0-9]', '') AS BIGINT)"
@@ -518,6 +521,19 @@ def nb_quality(tokseq: DataFrame) -> DataFrame:
         .select("b", "w")
     )
     pri = dtot.select(F.expr(_nb_prior_sql("d1", "d0")).alias("prior"))
+    return wtab, pri
+
+
+def nb_score(
+    tokseq: DataFrame, wtab: DataFrame, pri: DataFrame
+) -> DataFrame:
+    """Score docs with a trained model (broadcast weight table + prior).
+
+    Output: (doc_id, weak_label, nb_score_micro, predicted) — score in
+    integer micro-nats, predicted = score > 0. Docs with empty token
+    arrays drop out (explode semantics, same both engines)."""
+    v, a, b = NB_BUCKETS, NB_MULT, NB_OFF
+    labeled = tokseq.withColumn("weak_label", F.expr(_NB_LABEL[True]))
     exall = labeled.select(
         "doc_id", "weak_label", F.explode("tokens").alias("t")
     ).withColumn("b", F.expr(f"(t * {a} + {b}) % {v}"))
@@ -534,6 +550,13 @@ def nb_quality(tokseq: DataFrame) -> DataFrame:
             "case when prior + sw > 0 then 1 else 0 end"
         ).alias("predicted"),
     )
+
+
+def nb_quality(tokseq: DataFrame) -> DataFrame:
+    """Train on the deterministic 'train' split, score EVERY doc —
+    :func:`nb_train` + :func:`nb_score` in one lazy plan."""
+    wtab, pri = nb_train(tokseq)
+    return nb_score(tokseq, wtab, pri)
 
 
 def nb_quality_oracle_sql(

@@ -866,7 +866,8 @@ def _np_semdedup(emb_rows, threshold, n_clusters):
     return pairs
 
 
-def test_semdedup_matches_bruteforce(spark):
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_semdedup_matches_bruteforce(spark, use_kernel):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(
         F.col("vec_id") < 200
     )
@@ -874,7 +875,8 @@ def test_semdedup_matches_bruteforce(spark):
     got = {
         r.id_b: (r.id_a, r.cosine)
         for r in similarity.semdedup_pairs(
-            emb, threshold=0.2, n_clusters=8
+            emb, threshold=0.2, n_clusters=8,
+            use_kernel=use_kernel, score_kernel=use_kernel,
         ).collect()
     }
     want = _np_semdedup(rows, 0.2, 8)
@@ -882,6 +884,21 @@ def test_semdedup_matches_bruteforce(spark):
     for b, (a, cos) in want.items():
         assert got[b][0] == a
         assert abs(got[b][1] - cos) < 1e-9
+
+
+def test_semdedup_kernel_bit_identical_to_expression(spark):
+    """The Arrow assignment/scoring kernels and the HOF expression path
+    must agree to the BIT (same fold order, same tie-breaks)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    k = similarity.semdedup_pairs(
+        emb, threshold=0.2, n_clusters=16, use_kernel=True, score_kernel=True
+    )
+    e = similarity.semdedup_pairs(
+        emb, threshold=0.2, n_clusters=16, use_kernel=False
+    )
+    rk = sorted((r.id_a, r.id_b, r.cosine) for r in k.collect())
+    re_ = sorted((r.id_a, r.id_b, r.cosine) for r in e.collect())
+    assert rk == re_                      # includes exact float equality
 
 
 def test_semdedup_one_row_per_dropped_and_survivors(spark):
@@ -984,3 +1001,25 @@ def test_nb_quality_learns_separable_signal(spark):
     assert len(out) == 60
     agree = sum(1 for r in out if r.predicted == r.weak_label)
     assert agree >= 54   # >= 90% on a cleanly separable corpus
+
+
+def test_nb_model_roundtrips_through_parquet(spark, tmp_path):
+    """Feature-store reuse: a trained model written to parquet and read
+    back scores byte-identically to the in-plan model."""
+    from audio_feature_extraction_spark.sources.tokens import (
+        load_token_sequences,
+    )
+
+    ts = load_token_sequences(spark, SF)
+    wtab, pri = textstats.nb_train(ts)
+    wtab.write.parquet(f"{tmp_path}/wtab")
+    pri.write.parquet(f"{tmp_path}/pri")
+    fresh = textstats.nb_score(
+        ts,
+        spark.read.parquet(f"{tmp_path}/wtab"),
+        spark.read.parquet(f"{tmp_path}/pri"),
+    )
+    inline = textstats.nb_quality(ts)
+    a = sorted(map(tuple, fresh.collect()))
+    b = sorted(map(tuple, inline.collect()))
+    assert a == b

@@ -330,16 +330,26 @@ def test_round5_ops_plan_shapes(spark):
     """Round-5 operators keep the 100 TB shapes."""
     from audio_feature_extraction_spark.operators import similarity, textstats
 
-    # SemDeDup: centroid table broadcasts as ONE array-typed row; the
-    # only real exchange keys on the cluster id (the self-join); never
-    # a cartesian pair scan
+    # SemDeDup expression path: centroid table broadcasts as ONE
+    # array-typed row; the only real exchange keys on the cluster id
+    # (the self-join); never a cartesian pair scan
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    sd = similarity.semdedup_pairs(emb, threshold=0.2, n_clusters=16)
+    sd = similarity.semdedup_pairs(
+        emb, threshold=0.2, n_clusters=16, use_kernel=False
+    )
     plan = _plan(sd)
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan          # centroid row
     assert "_cl#" in plan                       # pair join keyed on cluster
     assert "BatchEvalPython" not in plan        # pure JVM
+
+    # SemDeDup kernel path (the default): assignment is ONE Arrow
+    # mapInPandas over the scan — no per-row Python, no cartesian
+    sdk = similarity.semdedup_pairs(emb, threshold=0.2, n_clusters=16)
+    kplan = _plan(sdk)
+    assert "CartesianProduct" not in kplan
+    assert "MapInPandas" in kplan
+    assert "BatchEvalPython" not in kplan
 
     # NB quality: the trained weight table joins BROADCAST into the
     # scoring explode (train small, score everywhere); no cartesian

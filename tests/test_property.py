@@ -626,8 +626,8 @@ def _py_cos(a, b):
 
 
 @settings(max_examples=20, deadline=None)
-@given(embs=_sd_embs)
-def test_semdedup_matches_python_witness(spark, embs):
+@given(embs=_sd_embs, use_kernel=st.booleans())
+def test_semdedup_matches_python_witness(spark, embs, use_kernel):
     from audio_feature_extraction_spark.operators import similarity
 
     # no zero vectors (cosine undefined); keep values integral so every
@@ -639,7 +639,11 @@ def test_semdedup_matches_python_witness(spark, embs):
     got = {
         r.id_b: (r.id_a, r.cosine)
         for r in similarity.semdedup_pairs(
-            emb, threshold=threshold, n_clusters=n_clusters
+            emb,
+            threshold=threshold,
+            n_clusters=n_clusters,
+            use_kernel=use_kernel,
+            score_kernel=use_kernel,
         ).collect()
     }
 
