@@ -1010,6 +1010,7 @@ def semdedup_pairs(
     dim: int | None = None,
     use_kernel: bool = True,
     score_kernel: bool = False,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """One row per semantically-dropped vector: (id_a, id_b, cosine)
     where ``id_a`` is the lowest same-cluster dominator of ``id_b``.
@@ -1019,7 +1020,14 @@ def semdedup_pairs(
     expression dominates the wall clock otherwise, like MinHash/LSH
     before their kernels); ``score_kernel`` does the same for the pair
     cosines via :func:`cosine_scores_kernel`. ``dim=None`` probes the
-    vector width from one row (driver-side, O(1))."""
+    vector width from one row (driver-side, O(1)).
+
+    ``max_cell_size`` is the hard guard against degenerate clusterings
+    (a corpus dominated by one embedding mode puts n vectors in one
+    cell → n² pairs): overflowing cells are EXCLUDED from the self-join
+    and counted via :func:`semdedup_overflow_cells` — no silent
+    truncation; at 100 TB run that report alongside and re-cluster the
+    overflow cells with more pivots (the LSH bucket-cap discipline)."""
     if dim is None and (use_kernel or score_kernel):
         first = emb.select(F.size(vec_col).alias("d")).first()
         dim = int(first.d) if first is not None else 0
@@ -1046,6 +1054,13 @@ def semdedup_pairs(
             .withColumn("_cl", F.expr(f"element_at({ranked}, 1).l"))
             .select(id_col, vec_col, "_cl")
         )
+    if max_cell_size is not None:
+        sizes = assigned.groupBy("_cl").agg(F.count("*").alias("_cell_n"))
+        assigned = (
+            assigned.join(sizes, "_cl")
+            .where(F.col("_cell_n") <= max_cell_size)
+            .drop("_cell_n")
+        )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,
@@ -1071,6 +1086,27 @@ def semdedup_pairs(
         dup.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def semdedup_overflow_cells(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    max_cell_size: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """The accounting side of the cell cap: (_cl, n_vecs) for every
+    cluster cell the capped pair pass skipped."""
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first.d) if first is not None else 0
+    assigned = semdedup_assign_kernel(emb, n_clusters, dim, id_col, vec_col)
+    return (
+        assigned.groupBy("_cl")
+        .agg(F.count("*").alias("n_vecs"))
+        .where(F.col("n_vecs") > max_cell_size)
     )
 
 

@@ -602,3 +602,45 @@ def nb_quality_oracle_sql(
     if final_cte is None:
         return f"WITH {base} {sel}" if from_clause != "tokseq" else f"{base} {sel}"
     return f"{base}, {final_cte} AS ({sel})"
+
+
+def nb_model_literals(
+    wtab: DataFrame, pri: DataFrame
+) -> tuple[list[int], int]:
+    """Collect a trained model (NB_BUCKETS weight rows + the prior) to
+    driver literals — bounded by construction, the serving handoff."""
+    ws = {r.b: r.w for r in wtab.collect()}
+    weights = [int(ws[b]) for b in range(NB_BUCKETS)]
+    prior = int(pri.collect()[0].prior)
+    return weights, prior
+
+
+def nb_expr_score(
+    tokseq: DataFrame, weights: list[int], prior: int
+) -> DataFrame:
+    """Score with the model COMPILED INTO ONE SCALAR EXPRESSION: the 64
+    micro-nat weights become an array literal and the per-doc score is
+    a fold over the token array — a narrow stateless map that runs
+    identically on a batch frame and a structured STREAM (no
+    aggregation state, append mode, any trigger). This is how the
+    trained filter deploys online: the model rides in the plan itself.
+
+    Semantics match :func:`nb_score` row-for-row (tested), except docs
+    with EMPTY token arrays: the explode path drops them, the fold
+    scores them at the bare prior (a stream must emit something per
+    input row).
+    """
+    v, a, b = NB_BUCKETS, NB_MULT, NB_OFF
+    arr = f"array({', '.join(f'{int(w)}L' for w in weights)})"
+    score = (
+        f"{int(prior)}L + aggregate(tokens, cast(0 as bigint), "
+        f"(acc, t) -> acc + element_at({arr}, (t * {a} + {b}) % {v} + 1))"
+    )
+    return tokseq.select(
+        "doc_id",
+        F.expr(_NB_LABEL[True]).alias("weak_label"),
+        F.expr(score).alias("nb_score_micro"),
+        F.expr(f"case when {score} > 0 then 1 else 0 end").alias(
+            "predicted"
+        ),
+    )

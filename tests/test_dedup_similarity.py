@@ -1023,3 +1023,25 @@ def test_nb_model_roundtrips_through_parquet(spark, tmp_path):
     a = sorted(map(tuple, fresh.collect()))
     b = sorted(map(tuple, inline.collect()))
     assert a == b
+
+
+def test_semdedup_cell_cap_prevents_blowup(spark):
+    """A degenerate corpus (one embedding mode) funnels everything into
+    one cell; the cap excludes that cell and accounts for it."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100)]
+    rows.append((100, [0.0, 1.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = similarity.semdedup_pairs(
+        emb, threshold=0.9, n_clusters=2
+    ).count()
+    assert uncapped == 99                       # one dominance row per copy
+    capped = similarity.semdedup_pairs(
+        emb, threshold=0.9, n_clusters=2, max_cell_size=10
+    ).count()
+    assert capped == 0
+    overflow = similarity.semdedup_overflow_cells(
+        emb, n_clusters=2, max_cell_size=10
+    ).collect()
+    # both pivots are copies of the mode vector, so the tie-break puts
+    # every vector (outlier included) in cell 0: one 101-vec cell
+    assert overflow and all(r.n_vecs == 101 for r in overflow)

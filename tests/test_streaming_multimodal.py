@@ -1337,3 +1337,69 @@ def test_stream_pit_serve_multi_strict_matches_batch(spark, tmp_path):
     assert got == expect and len(got) == 2
     assert got[3] == (1.0, t0, 7.0, t0 + dt.timedelta(minutes=3))
     assert got[4][0] == 5.0
+
+
+def test_nb_expr_score_streams_with_trained_model(spark, tmp_path):
+    """The trained NB model compiles into a scalar expression and scores
+    a real two-trigger document stream; the streamed rows match the
+    batch explode-path scores row-for-row (nonempty docs)."""
+    from audio_feature_extraction_spark.operators import textstats
+    from audio_feature_extraction_spark.sources.tokens import (
+        load_token_sequences,
+    )
+
+    ts = load_token_sequences(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "tokens", "n_tok"
+    )
+    wtab, pri = textstats.nb_train(
+        load_token_sequences(spark, "/root/testdata/sf0.001")
+    )
+    weights, prior = textstats.nb_model_literals(wtab, pri)
+    assert len(weights) == textstats.NB_BUCKETS
+
+    # batch: expression path == explode path on every nonempty doc
+    expr_rows = {
+        r.doc_id: (r.weak_label, r.nb_score_micro, r.predicted)
+        for r in textstats.nb_expr_score(ts, weights, prior).collect()
+    }
+    explode_rows = {
+        r.doc_id: (r.weak_label, r.nb_score_micro, r.predicted)
+        for r in textstats.nb_quality(
+            load_token_sequences(spark, "/root/testdata/sf0.001")
+        ).collect()
+    }
+    for d, row in explode_rows.items():
+        assert expr_rows[d] == row
+
+    # stream: two file triggers through the same expression
+    src = tmp_path / "docs"
+    src.mkdir()
+    half1 = ts.where("doc_id < 'doc_3'")
+    half2 = ts.where("doc_id >= 'doc_3'")
+    half1.coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(ts.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        textstats.nb_expr_score(stream, weights, prior)
+        .writeStream.format("memory")
+        .queryName("nb_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("select count(*) c from nb_stream_out").collect()[0].c
+        half2.coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.weak_label, r.nb_score_micro, r.predicted)
+            for r in spark.sql("select * from nb_stream_out").collect()
+        }
+    finally:
+        q.stop()
+    assert 0 < n1 < len(got)                 # genuinely two triggers
+    assert got == expr_rows
