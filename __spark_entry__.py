@@ -53,6 +53,7 @@ from audio_feature_extraction_spark.operators import (
     preprocess,
     sessionize,
     similarity,
+    sketch,
     spectral,
     split,
     temporal,
@@ -839,18 +840,35 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_RATES = {"web": 1.5, "wiki": 2.0, "books": 0.25}
+_QUOTA_N = 20
 _MIX_DEFAULT = 0.5
 _PACK_BLOCK = 4096
 
 
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted domain mixing: per-source sampling rates with upsampling
-    epochs (deterministic hash, no RNG)."""
+    """Two deterministic sampling policies, one (doc_id, source, n_tok,
+    epoch) schema: rate-based domain mixing with upsampling epochs, and
+    exact-quota stratified carving (the 4th column carries the
+    within-source sample rank for the quota variant)."""
     from audio_feature_extraction_spark.operators import mixing
 
     ts = load_token_sequences(spark, sf_dir)
-    out = mixing.sample_by_rates(ts, _MIX_RATES, default=_MIX_DEFAULT)
-    return out.select("doc_id", "source", "n_tok", "epoch")
+    rates = mixing.sample_by_rates(ts, _MIX_RATES, default=_MIX_DEFAULT)
+    quota = mixing.sample_quota(ts, _QUOTA_N)
+    return _variant_union(
+        [
+            ("rates", rates.select("doc_id", "source", "n_tok", "epoch")),
+            (
+                "quota",
+                quota.select(
+                    "doc_id",
+                    "source",
+                    "n_tok",
+                    F.col("sample_rank").alias("epoch"),
+                ),
+            ),
+        ]
+    )
 
 
 def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,7 +1297,10 @@ def q_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_validation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8 validation counts + corpus length histogram, long format (k, n)."""
+    """Corpus-level stats, long format (k, n): P8 validation counts,
+    length histogram, and the HyperLogLog distinct sketch next to its
+    exact counts (the estimate is value-oracle-checked — the whole
+    sketch pipeline is cross-engine exact, operators/sketch.py)."""
     v = q_validation_counts(spark, sf_dir).select(
         F.col("check").alias("k"), F.col("n")
     )
@@ -1287,7 +1308,8 @@ def q_validation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("len_"), F.col("bucket").cast("string")).alias("k"),
         F.col("n_docs").alias("n"),
     )
-    return v.unionByName(h)
+    hll = sketch.hll_distinct_tokens(load_token_sequences(spark, sf_dir))
+    return v.unionByName(h).unionByName(hll)
 
 
 # ---------------------------------------------------------------------------
@@ -1859,6 +1881,12 @@ def oracle_sql() -> dict[str, str]:
             + mixing.sample_by_rates_oracle_sql(_MIX_RATES, default=_MIX_DEFAULT)
             + ") _m"
         ),
+        "corpus_quota": (
+            f"{_tok_cte()} SELECT doc_id, source, n_tok, "
+            f"sample_rank AS epoch FROM ("
+            + mixing.sample_quota_oracle_sql(_QUOTA_N)
+            + ") _q"
+        ),
         "pack_blocks": (
             f"{_tok_cte()}, "
             + mixing.pack_blocks_oracle_sql(_PACK_BLOCK)
@@ -1936,7 +1964,9 @@ def oracle_sql() -> dict[str, str]:
         "validation_histogram": (
             f'SELECT "check" AS k, n FROM ({leaf["validation_counts"]}) _v '
             f"UNION ALL SELECT 'len_' || CAST(bucket AS VARCHAR) AS k, "
-            f"n_docs AS n FROM ({leaf['length_histogram']}) _h"
+            f"n_docs AS n FROM ({leaf['length_histogram']}) _h "
+            f"UNION ALL SELECT k, n FROM "
+            f"({_tok_cte()}, {sketch.hll_oracle_sql()}) _s"
         ),
         "repetition_stats": textstats.repetition_stats_oracle_sql(),
         "pit_feature_serving": leaf["pit_feature_serving"],
@@ -2040,7 +2070,12 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": leaf["dup_spans"],
         "ngram_jaccard": leaf["ngram_jaccard"],
         "contamination": leaf["contamination"],
-        "corpus_mix": leaf["corpus_mix"],
+        "corpus_mix": _variant_union_sql(
+            [
+                ("rates", leaf["corpus_mix"]),
+                ("quota", leaf["corpus_quota"]),
+            ]
+        ),
         "pack_blocks": leaf["pack_blocks"],
         "embedding_near_dups": _variant_union_sql(
             [

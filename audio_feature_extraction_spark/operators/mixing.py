@@ -111,6 +111,49 @@ def sample_by_rates_oracle_sql(
     )
 
 
+def sample_quota(
+    tokseq: DataFrame,
+    n_per_source: int,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """EXACT-quota stratified sampling: the first ``n_per_source`` docs
+    per source in deterministic hash order (rate-based mixing keeps an
+    EXPECTED fraction; eval-set carving and per-domain caps need an
+    exact count). Hash order — not id order — so the sample is
+    uniform-ish over each stratum yet rerun-stable, engine-identical,
+    and stable under appends ONLY of later-hashing docs (the usual
+    reservoir caveat; re-carve after big appends).
+
+    Scale shape: one rank window per source partition — the same single
+    exchange as sessionize; no RNG, no collect. Output = input columns
+    + ``sample_rank`` (1-based within source).
+    """
+    from pyspark.sql import Window
+
+    num = f"CAST(regexp_replace({id_col}, '[^0-9]', '') AS BIGINT)"
+    h = _rate_hash(num, "0", seed)
+    w = Window.partitionBy(source_col).orderBy(F.expr(h), F.col(id_col))
+    return (
+        tokseq.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_source)
+    )
+
+
+def sample_quota_oracle_sql(
+    n_per_source: int, seed: int = 7, from_clause: str = "tokseq"
+) -> str:
+    num = "CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
+    h = _rate_hash(num, "0", seed)
+    return (
+        f"SELECT * FROM (SELECT t.*, CAST(row_number() OVER ("
+        f"PARTITION BY source ORDER BY {h}, doc_id) AS INTEGER) "
+        f"AS sample_rank FROM {from_clause} t) _q "
+        f"WHERE sample_rank <= {n_per_source}"
+    )
+
+
 def pack_blocks(
     tokseq: DataFrame,
     block_len: int,
