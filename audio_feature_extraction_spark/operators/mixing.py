@@ -146,10 +146,12 @@ def sample_quota_oracle_sql(
 ) -> str:
     num = "CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
     h = _rate_hash(num, "0", seed)
+    # NULLS FIRST pins the one dialect default that differs (Spark asc
+    # = nulls first, DuckDB asc = nulls last) for digitless doc ids
     return (
         f"SELECT * FROM (SELECT t.*, CAST(row_number() OVER ("
-        f"PARTITION BY source ORDER BY {h}, doc_id) AS INTEGER) "
-        f"AS sample_rank FROM {from_clause} t) _q "
+        f"PARTITION BY source ORDER BY {h} NULLS FIRST, doc_id) "
+        f"AS INTEGER) AS sample_rank FROM {from_clause} t) _q "
         f"WHERE sample_rank <= {n_per_source}"
     )
 

@@ -969,6 +969,12 @@ def semdedup_assign_kernel(
         .collect(),
         key=lambda r: r.l,
     )
+    if not cents:
+        raise ValueError(
+            f"semdedup: no pivot vectors ({id_col} < {n_clusters} matched "
+            f"nothing) — the deterministic quantizer needs the lowest-id "
+            f"vectors present"
+        )
     C0 = np.stack([np.asarray(r.c, dtype=np.float64) for r in cents])
     ls0 = np.array([r.l for r in cents], dtype=np.int32)
     bc = emb.sparkSession.sparkContext.broadcast((C0, ls0))

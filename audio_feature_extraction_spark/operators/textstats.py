@@ -494,7 +494,7 @@ def nb_train(tokseq: DataFrame) -> tuple[DataFrame, DataFrame]:
     train = labeled.where(F.expr(_NB_SPLIT.format(id=num_id)))
     ex = train.select(
         "weak_label", F.explode("tokens").alias("t")
-    ).withColumn("b", F.expr(f"(t * {a} + {b}) % {v}"))
+    ).withColumn("b", F.expr(f"((t * {a} + {b}) % {v} + {v}) % {v}"))
     counts = ex.groupBy("b").agg(
         F.sum(F.expr("case when weak_label = 1 then 1 else 0 end")).alias("c1"),
         F.sum(F.expr("case when weak_label = 0 then 1 else 0 end")).alias("c0"),
@@ -536,7 +536,7 @@ def nb_score(
     labeled = tokseq.withColumn("weak_label", F.expr(_NB_LABEL[True]))
     exall = labeled.select(
         "doc_id", "weak_label", F.explode("tokens").alias("t")
-    ).withColumn("b", F.expr(f"(t * {a} + {b}) % {v}"))
+    ).withColumn("b", F.expr(f"((t * {a} + {b}) % {v} + {v}) % {v}"))
     sc = (
         exall.join(F.broadcast(wtab), "b")
         .groupBy("doc_id", "weak_label")
@@ -577,7 +577,8 @@ def nb_quality_oracle_sql(
         f"{_NB_LABEL[False]} AS weak_label FROM {from_clause}), "
         f"nb_tr AS (SELECT * FROM nb_lab "
         f"WHERE {_NB_SPLIT.format(id=num_id)}), "
-        f"nb_ex AS (SELECT weak_label, (u.t * {a} + {b}) % {v} AS b "
+        f"nb_ex AS (SELECT weak_label, "
+        f"((u.t * {a} + {b}) % {v} + {v}) % {v} AS b "
         f"FROM nb_tr, unnest(nb_tr.tokens) AS u(t)), "
         f"cts AS (SELECT b, "
         f"sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS c1, "
@@ -594,7 +595,7 @@ def nb_quality_oracle_sql(
         f"LEFT JOIN cts ON g.b = cts.b), "
         f"pri AS (SELECT {_nb_prior_sql('d1', 'd0')} AS prior FROM dtot), "
         f"nb_exall AS (SELECT doc_id, weak_label, "
-        f"(u.t * {a} + {b}) % {v} AS b "
+        f"((u.t * {a} + {b}) % {v} + {v}) % {v} AS b "
         f"FROM nb_lab, unnest(nb_lab.tokens) AS u(t)), "
         f"sc AS (SELECT doc_id, weak_label, sum(w) AS sw "
         f"FROM nb_exall JOIN wt USING (b) GROUP BY 1, 2)"
@@ -634,7 +635,8 @@ def nb_expr_score(
     arr = f"array({', '.join(f'{int(w)}L' for w in weights)})"
     score = (
         f"{int(prior)}L + aggregate(tokens, cast(0 as bigint), "
-        f"(acc, t) -> acc + element_at({arr}, (t * {a} + {b}) % {v} + 1))"
+        f"(acc, t) -> acc + element_at({arr}, "
+        f"((t * {a} + {b}) % {v} + {v}) % {v} + 1))"
     )
     return tokseq.select(
         "doc_id",

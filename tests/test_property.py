@@ -675,8 +675,10 @@ def test_semdedup_matches_python_witness(spark, embs, use_kernel):
 # NB quality == pure-python witness on random corpora
 # ---------------------------------------------------------------------------
 
+# negative token ids exercise the pmod bucket hardening (python % is
+# already a pmod, so the witness needs no change)
 _nb_corpora = st.lists(
-    st.lists(st.integers(0, 32767), min_size=0, max_size=40),
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=40),
     min_size=1,
     max_size=16,
 )
