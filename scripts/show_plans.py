@@ -15,7 +15,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from audio_feature_extraction_spark.core.config import FrameSpec  # noqa: E402
 from audio_feature_extraction_spark.core.session import get_spark  # noqa: E402
 from audio_feature_extraction_spark.operators import (  # noqa: E402
-    asof, dedup, framing, inverse, sessionize, textclean,
+    asof, dedup, framing, inverse, sessionize, similarity, sketch,
+    textclean, textstats,
 )
 from audio_feature_extraction_spark.sources.tokens import (  # noqa: E402
     load_token_sequences,
@@ -44,6 +45,14 @@ def main() -> None:
         "text_scrub (zero-exchange narrow map)": textclean.scrub_text(
             spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
         ),
+        "semdedup_pairs (kernel assign + cluster-keyed join)":
+            similarity.semdedup_pairs(
+                spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.2
+            ),
+        "nb_quality (64-key train agg + broadcast score)":
+            textstats.nb_quality(ts),
+        "hll_distinct (O(64) mergeable state)":
+            sketch.hll_distinct_tokens(ts),
     }
     for name, df in plans.items():
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
