@@ -77,6 +77,27 @@ def run_queries(
     # deliberate hot entity (user_id 0 keeps ~1/16 of all rows) for the
     # skew benchmarks
     ev_amp_n = int(os.environ.get("SPARK_GRAFT_EV_AMPLIFY", "50"))
+    ev_path = f"/tmp/bench_events_{sf_tag}_x{ev_amp_n}"
+    if not os.path.exists(os.path.join(ev_path, "_SUCCESS")):
+        ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        (
+            ev0.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(ev_amp_n - 1)))
+            )
+            .select(
+                (F.col("event_id") * ev_amp_n + F.col("rep")).alias("event_id"),
+                F.expr("timestampadd(SECOND, rep, ts)").alias("ts"),
+                F.when(F.col("rep") % 16 == 0, F.lit(0))
+                .otherwise(F.col("user_id") + F.col("rep") * 100)
+                .alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(ev_path)
+        )
     if flagship_only:
         # scaling mode: time ONLY the flagship feature-extraction job —
         # the events-table queries don't feed seq_per_sec, and skipping
@@ -106,6 +127,23 @@ def run_queries(
             "frame_features_f32",
             lambda: _noop(framing.frame_features_compact(amplified, spec)),
         )
+        # a SHUFFLE-BOUND job at the same two levels: the narrow
+        # flagship mostly proves task scheduling scales; the as-of join
+        # (union + repartition + window carry) is the exchange-heavy
+        # shape whose scaling a cluster operator actually worries about.
+        # Uses the amplified 5M-event table (built once, /tmp-cached
+        # across the scaling subprocesses).
+        ev_bench = spark.read.parquet(ev_path)
+        probes_b = ev_bench.where(F.col("event_type") == "view")
+        states_b = ev_bench.where(
+            F.col("event_type").isin("click", "purchase")
+        )
+        _noop(ev_bench)
+        timed_f(
+            "asof_join",
+            lambda: _noop(asof.asof_join(probes_b, states_b)),
+        )
+        n_ev = ev_bench.count()
         result = {
             "metric": "e2e_wall_sec",
             "value": round(sum(timings.values()), 3),
@@ -115,30 +153,10 @@ def run_queries(
             "parallelism": parallelism,
             "n_sequences": n_seq,
             "seq_per_sec": round(n_seq / timings["frame_features"], 1),
+            "events_per_sec": round(n_ev / timings["asof_join"], 1),
         }
         spark.stop()
         return result
-    ev_path = f"/tmp/bench_events_{sf_tag}_x{ev_amp_n}"
-    if not os.path.exists(os.path.join(ev_path, "_SUCCESS")):
-        ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
-        (
-            ev0.withColumn(
-                "rep", F.explode(F.sequence(F.lit(0), F.lit(ev_amp_n - 1)))
-            )
-            .select(
-                (F.col("event_id") * ev_amp_n + F.col("rep")).alias("event_id"),
-                F.expr("timestampadd(SECOND, rep, ts)").alias("ts"),
-                F.when(F.col("rep") % 16 == 0, F.lit(0))
-                .otherwise(F.col("user_id") + F.col("rep") * 100)
-                .alias("user_id"),
-                "event_type",
-                "value",
-                "props",
-            )
-            .repartition(64)
-            .write.mode("overwrite")
-            .parquet(ev_path)
-        )
     ev = spark.read.parquet(ev_path)
     n_events = ev.count()
 
@@ -433,7 +451,7 @@ def main() -> None:
             )
             return json.loads(out.stdout.strip().splitlines()[-1])
 
-        pairs, last = [], {}
+        pairs, shuffle_pairs, last = [], [], {}
         for _ in range(n_pairs):
             r_lo, r_hi = run_level(lo), run_level(hi)
             pairs.append(
@@ -445,6 +463,18 @@ def main() -> None:
                     f"local[{hi}]": r_hi["seq_per_sec"],
                 }
             )
+            if "events_per_sec" in r_lo:
+                shuffle_pairs.append(
+                    {
+                        "eff": round(
+                            r_hi["events_per_sec"]
+                            / (r_lo["events_per_sec"] * (hi / lo)),
+                            3,
+                        ),
+                        f"local[{lo}]": r_lo["events_per_sec"],
+                        f"local[{hi}]": r_hi["events_per_sec"],
+                    }
+                )
             last = {"lo": r_lo, "hi": r_hi}
         effs = sorted(p["eff"] for p in pairs)
         median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
@@ -455,11 +485,24 @@ def main() -> None:
         # numbers correspond to the reported ratio instead of being
         # cherry-picked from the best pair (ADVICE r02)
         median_pair = min(pairs, key=lambda p: abs(p["eff"] - median_eff))
+        sh_effs = sorted(p["eff"] for p in shuffle_pairs)
+        sh_median = (
+            None
+            if not sh_effs
+            else sh_effs[len(sh_effs) // 2]
+            if len(sh_effs) % 2
+            else round((sh_effs[len(sh_effs) // 2 - 1] + sh_effs[len(sh_effs) // 2]) / 2, 3)
+        )
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": median_eff,
             "unit": "ratio",
             "pairs": pairs,
+            "shuffle_job": {
+                "job": "asof_join (union + exchange + window carry)",
+                "value": sh_median,
+                "pairs": shuffle_pairs,
+            },
             "throughput": {
                 f"local[{lo}]": median_pair[f"local[{lo}]"],
                 f"local[{hi}]": median_pair[f"local[{hi}]"],
