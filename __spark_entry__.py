@@ -841,26 +841,38 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_RATES = {"web": 1.5, "wiki": 2.0, "books": 0.25}
 _QUOTA_N = 20
+_DSIR_K = 100
 _MIX_DEFAULT = 0.5
 _PACK_BLOCK = 4096
 
 
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two deterministic sampling policies, one (doc_id, source, n_tok,
-    epoch) schema: rate-based domain mixing with upsampling epochs, and
-    exact-quota stratified carving (the 4th column carries the
-    within-source sample rank for the quota variant)."""
+    """Three deterministic sampling policies, one (doc_id, source,
+    n_tok, epoch) schema: rate-based domain mixing with upsampling
+    epochs; exact-quota stratified carving (4th column = within-source
+    sample rank); and DSIR Gumbel-top-k importance resampling (4th
+    column = selection rank — content-based selection, Xie et al.)."""
     from audio_feature_extraction_spark.operators import mixing
 
     ts = load_token_sequences(spark, sf_dir)
     rates = mixing.sample_by_rates(ts, _MIX_RATES, default=_MIX_DEFAULT)
     quota = mixing.sample_quota(ts, _QUOTA_N)
+    dsir = mixing.dsir_sample(ts, _DSIR_K)
     return _variant_union(
         [
             ("rates", rates.select("doc_id", "source", "n_tok", "epoch")),
             (
                 "quota",
                 quota.select(
+                    "doc_id",
+                    "source",
+                    "n_tok",
+                    F.col("sample_rank").alias("epoch"),
+                ),
+            ),
+            (
+                "dsir",
+                dsir.select(
                     "doc_id",
                     "source",
                     "n_tok",
@@ -1014,9 +1026,15 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc token features, two variants in one (doc_id, vals_csv)
-    schema: the hashed token histogram, and the weakly-supervised
-    Naive-Bayes quality score (label,score_micro,predicted)."""
+    """Per-doc token features, four variants in one (doc_id, vals_csv)
+    schema: the hashed token histogram; the weakly-supervised
+    Naive-Bayes quality score (label,score_micro,predicted); the DSIR
+    importance weight + Gumbel resampling key (n_feats,lw,key — Xie et
+    al. importance resampling over hashed bigrams); and the
+    hashed-bigram LM perplexity signal (n_bigrams,nll,mnll — the CCNet
+    perplexity-filter analog)."""
+    from audio_feature_extraction_spark.operators import mixing
+
     ts = load_token_sequences(spark, sf_dir)
     hist = _csv_cols(textstats.doc_features(ts), "doc_histogram").select(
         "doc_id", F.col("doc_histogram_csv").alias("vals_csv")
@@ -1030,7 +1048,32 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("predicted").cast("string"),
         ).alias("vals_csv"),
     )
-    return _variant_union([("histogram", hist), ("nb_quality", nb)])
+    dsir = mixing.dsir_weights(ts).select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.col("n_feats").cast("string"),
+            F.col("lw_micro").cast("string"),
+            F.col("key_micro").cast("string"),
+        ).alias("vals_csv"),
+    )
+    lm = textstats.lm_perplexity(ts).select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.col("n_bigrams").cast("string"),
+            F.col("nll_micro").cast("string"),
+            F.col("mnll_micro").cast("string"),
+        ).alias("vals_csv"),
+    )
+    return _variant_union(
+        [
+            ("histogram", hist),
+            ("nb_quality", nb),
+            ("dsir", dsir),
+            ("lm_ppl", lm),
+        ]
+    )
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1887,6 +1930,25 @@ def oracle_sql() -> dict[str, str]:
             + mixing.sample_quota_oracle_sql(_QUOTA_N)
             + ") _q"
         ),
+        "corpus_dsir": (
+            f"{_tok_cte()}, "
+            f"{mixing.dsir_sample_oracle_sql(_DSIR_K, final_cte='dss')} "
+            f"SELECT doc_id, source, n_tok, sample_rank AS epoch FROM dss"
+        ),
+        "dsir_weights": (
+            f"{_tok_cte()}, "
+            f"{mixing.dsir_weights_oracle_sql(final_cte='dsw')} "
+            f"SELECT doc_id, CAST(n_feats AS VARCHAR) || ',' || "
+            f"CAST(lw_micro AS VARCHAR) || ',' || "
+            f"CAST(key_micro AS VARCHAR) AS vals_csv FROM dsw"
+        ),
+        "lm_ppl": (
+            f"{_tok_cte()}, "
+            f"{textstats.lm_perplexity_oracle_sql(final_cte='lmp')} "
+            f"SELECT doc_id, CAST(n_bigrams AS VARCHAR) || ',' || "
+            f"CAST(nll_micro AS VARCHAR) || ',' || "
+            f"CAST(mnll_micro AS VARCHAR) AS vals_csv FROM lmp"
+        ),
         "pack_blocks": (
             f"{_tok_cte()}, "
             + mixing.pack_blocks_oracle_sql(_PACK_BLOCK)
@@ -1951,6 +2013,8 @@ def oracle_sql() -> dict[str, str]:
                     f"FROM ({leaf['doc_features']}) _dfh",
                 ),
                 ("nb_quality", leaf["nb_quality"]),
+                ("dsir", leaf["dsir_weights"]),
+                ("lm_ppl", leaf["lm_ppl"]),
             ]
         ),
         "gram_stats": (
@@ -2074,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
             [
                 ("rates", leaf["corpus_mix"]),
                 ("quota", leaf["corpus_quota"]),
+                ("dsir", leaf["corpus_dsir"]),
             ]
         ),
         "pack_blocks": leaf["pack_blocks"],

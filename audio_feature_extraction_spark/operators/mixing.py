@@ -156,6 +156,255 @@ def sample_quota_oracle_sql(
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+# Rate- and quota-based mixing above select by SOURCE; DSIR selects by
+# CONTENT: fit two hashed-n-gram bag distributions — p over a small
+# "target" (high-quality) sample, q over the raw corpus — weight every
+# document by its log importance ratio log p(x)/q(x), and resample
+# top-k under Gumbel noise (the Gumbel-top-k trick makes top-k on
+# log w + G equivalent to sampling without replacement proportional to
+# w). This engine's twist is that the whole thing is EXACT cross-engine:
+#
+# * features      = hashed BIGRAMS of the token array (the paper uses
+#   unigram+bigram bags; bigrams alone keep the feature space disjoint
+#   from the NB unigram filter so the two learned signals are
+#   complementary);
+# * distributions = add-one-smoothed bucket counts; the per-bucket
+#   log-ratio quantizes to integer micro-nats via the NB weight idiom
+#   (textstats._nb_weight_sql — ln is libm-matched Spark==DuckDB, floor
+#   of the same double is exact), so per-doc weights are ORDER-FREE
+#   INTEGER SUMS;
+# * Gumbel noise  = -ln(-ln(u)) with u a DYADIC rational from an affine
+#   integer hash ((h + 0.5) / 2^20): u is exactly representable, both
+#   ln's are libm-matched, so even the "random" tiebreak is
+#   deterministic, engine-identical, and oracle-checkable.
+#
+# "Target" here is the same weak-quality heuristic the NB filter
+# bootstraps from (2*|distinct tokens| >= n_tok) restricted to the
+# deterministic train split — the DSIR paper's target corpus is any
+# small exemplar set; a deterministic predicate keeps the whole pipeline
+# value-oracle-checkable.
+#
+# 100 TB shape: fitting is one groupBy of exploded train-split bigram
+# buckets onto DSIR_BUCKETS keys (map-side partial agg; the model is
+# DSIR_BUCKETS rows). Weighting broadcasts that table: explode ->
+# broadcast-join -> integer sum per doc. Selection is orderBy().limit(k)
+# — Spark's TakeOrdered, O(k) per partition, no global sort; the
+# row_number that ranks the k survivors runs AFTER the limit, over k
+# rows only.
+
+DSIR_BUCKETS = 128
+DSIR_M1 = 41
+DSIR_M2 = 97
+DSIR_OFF = 23
+# Gumbel-key hash: u = ((id*G_MULT + G_OFF) mod 2^20 + 0.5) / 2^20
+DSIR_G_MULT = 40503
+DSIR_G_OFF = 633
+DSIR_G_MOD = 1 << 20
+# train predicate: operators/split.py affine bucket < 80 (the 'train'
+# split — same arithmetic the NB quality filter trains on)
+_DSIR_SPLIT = "((({id}) * 9973 + 12345) % 100) < 80"
+_DSIR_TARGET = {
+    True: "case when size(array_distinct(tokens)) * 2 >= n_tok "
+    "then 1 else 0 end",
+    False: "CASE WHEN len(list_distinct(tokens)) * 2 >= n_tok "
+    "THEN 1 ELSE 0 END",
+}
+
+
+def _dsir_feats(spark: bool) -> str:
+    """Hashed-bigram bucket array over ``tokens`` (pmod — token ids may
+    be arbitrary ints)."""
+    v, m1, m2, off = DSIR_BUCKETS, DSIR_M1, DSIR_M2, DSIR_OFF
+    if spark:
+        return (
+            f"transform(filter(sequence(1, size(tokens)), i -> i < size(tokens)), "
+            f"i -> ((element_at(tokens, cast(i as int)) * {m1} "
+            f"+ element_at(tokens, cast(i + 1 as int)) * {m2} + {off}) "
+            f"% {v} + {v}) % {v})"
+        )
+    return (
+        f"list_transform(range(1, len(tokens)), "
+        f"i -> ((tokens[i] * {m1} + tokens[i + 1] * {m2} + {off}) "
+        f"% {v} + {v}) % {v})"
+    )
+
+
+def _dsir_gumbel(num_expr: str) -> str:
+    """Integer micro-nat Gumbel noise from a dyadic uniform — identical
+    text both dialects. u = (affine-hash + 0.5)/2^20 is an exact double;
+    ln is glibc-libm on both engines; floor of the same double is exact."""
+    mult, off, mod = DSIR_G_MULT, DSIR_G_OFF, DSIR_G_MOD
+    # digitless doc ids extract a NULL numeric id — pin them to 0 so
+    # they still draw a (shared) Gumbel key instead of a NULL one;
+    # doc_id remains the deterministic tiebreak
+    u = (
+        f"((coalesce({num_expr}, 0) * {mult} + {off}) "
+        f"% {mod} + {mod}) % {mod}"
+    )
+    return (
+        f"CAST(floor(1000000.0 * (0.0 - ln(0.0 - "
+        f"ln((CAST({u} AS DOUBLE) + 0.5) / {float(mod)})))) AS BIGINT)"
+    )
+
+
+def dsir_lambda_table(tokseq: DataFrame) -> DataFrame:
+    """Fit the per-bucket importance log-ratio table on the train split.
+
+    Returns (b int, lam bigint) — all DSIR_BUCKETS rows, micro-nat
+    log(p_target / q_raw) with add-one smoothing. Tiny lazy plan;
+    persist/write to reuse one fitted model across selection runs."""
+    from .textstats import _nb_weight_sql
+
+    v = DSIR_BUCKETS
+    num = "CAST(regexp_replace(doc_id, '[^0-9]', '') AS BIGINT)"
+    train = tokseq.where(F.expr(_DSIR_SPLIT.format(id=num)))
+    ex = train.select(
+        F.expr(_DSIR_TARGET[True]).alias("is_t"),
+        F.explode(F.expr(_dsir_feats(True))).alias("b"),
+    )
+    counts = ex.groupBy("b").agg(
+        F.sum("is_t").alias("c1"),
+        F.sum(F.expr("1 - is_t")).alias("c0"),
+    )
+    tot = ex.agg(
+        F.sum("is_t").alias("n1"), F.sum(F.expr("1 - is_t")).alias("n0")
+    )
+    grid = tot.select(
+        F.explode(F.expr(f"sequence(0, {v - 1})")).alias("b"), "n1", "n0"
+    )
+    return (
+        grid.join(counts, "b", "left")
+        .withColumn(
+            "lam",
+            F.expr(
+                _nb_weight_sql(
+                    "coalesce(c1, 0)", "coalesce(c0, 0)", "n1", "n0", v=v
+                )
+            ),
+        )
+        .select("b", "lam")
+    )
+
+
+def dsir_weights(tokseq: DataFrame) -> DataFrame:
+    """Per-doc DSIR importance weights + Gumbel resampling keys.
+
+    Output: (doc_id, source, n_tok, n_feats, lw_micro, key_micro) for
+    EVERY input doc — docs too short for a bigram score 0 (ln-ratio of
+    the empty product) and compete on bare Gumbel noise.
+    """
+    lam = dsir_lambda_table(tokseq)
+    feats = tokseq.select(
+        "doc_id", F.explode(F.expr(_dsir_feats(True))).alias("b")
+    )
+    sc = (
+        feats.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_nf"),
+            F.sum("lam").alias("_lw"),
+        )
+    )
+    num = "CAST(regexp_replace(doc_id, '[^0-9]', '') AS BIGINT)"
+    g = _dsir_gumbel(num)
+    return (
+        tokseq.select("doc_id", "source", "n_tok")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.expr("CAST(coalesce(_nf, 0) AS BIGINT)").alias("n_feats"),
+            F.expr("CAST(coalesce(_lw, 0) AS BIGINT)").alias("lw_micro"),
+            F.expr(f"CAST(coalesce(_lw, 0) + {g} AS BIGINT)").alias(
+                "key_micro"
+            ),
+        )
+    )
+
+
+def dsir_sample(tokseq: DataFrame, k: int) -> DataFrame:
+    """Gumbel-top-k importance resampling: the k docs with the largest
+    (log-weight + Gumbel) key — distributionally, sampling without
+    replacement proportional to the importance weight; operationally, a
+    deterministic TakeOrdered.
+
+    Output: dsir_weights columns + ``sample_rank`` (1-based)."""
+    top = dsir_weights(tokseq).orderBy(
+        F.col("key_micro").desc(), "doc_id"
+    ).limit(k)
+    w = Window.orderBy(F.col("key_micro").desc(), "doc_id")
+    return top.withColumn(
+        "sample_rank", F.row_number().over(w).cast("int")
+    )
+
+
+def _dsir_base_ctes(from_clause: str) -> str:
+    """Shared DuckDB CTE chain: fit + per-doc weights."""
+    from .textstats import _nb_weight_sql
+
+    v = DSIR_BUCKETS
+    num = "CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
+    w = _nb_weight_sql("coalesce(c1, 0)", "coalesce(c0, 0)", "n1", "n0", v=v)
+    g = _dsir_gumbel(
+        "CAST(regexp_replace(t.doc_id, '[^0-9]', '', 'g') AS BIGINT)"
+    )
+    return (
+        f"ds_tr AS (SELECT {_DSIR_TARGET[False]} AS is_t, tokens "
+        f"FROM {from_clause} WHERE {_DSIR_SPLIT.format(id=num)}), "
+        f"ds_ex AS (SELECT is_t, u.b FROM "
+        f"(SELECT is_t, {_dsir_feats(False)} AS bs FROM ds_tr) t, "
+        f"unnest(t.bs) AS u(b)), "
+        f"ds_cts AS (SELECT b, sum(is_t) AS c1, sum(1 - is_t) AS c0 "
+        f"FROM ds_ex GROUP BY b), "
+        f"ds_tot AS (SELECT sum(is_t) AS n1, sum(1 - is_t) AS n0 FROM ds_ex), "
+        f"ds_lam AS (SELECT g.b, {w} AS lam FROM "
+        f"(SELECT unnest(range(0, {v})) AS b) g CROSS JOIN ds_tot "
+        f"LEFT JOIN ds_cts ON g.b = ds_cts.b), "
+        f"ds_feats AS (SELECT doc_id, u.b FROM "
+        f"(SELECT doc_id, {_dsir_feats(False)} AS bs FROM {from_clause}) t, "
+        f"unnest(t.bs) AS u(b)), "
+        f"ds_sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS _nf, "
+        f"CAST(sum(lam) AS BIGINT) AS _lw "
+        f"FROM ds_feats JOIN ds_lam USING (b) GROUP BY doc_id), "
+        f"ds_w AS (SELECT t.doc_id, t.source, t.n_tok, "
+        f"CAST(coalesce(sc._nf, 0) AS BIGINT) AS n_feats, "
+        f"CAST(coalesce(sc._lw, 0) AS BIGINT) AS lw_micro, "
+        f"CAST(coalesce(sc._lw, 0) + {g} AS BIGINT) AS key_micro "
+        f"FROM {from_clause} t LEFT JOIN ds_sc sc ON t.doc_id = sc.doc_id)"
+    )
+
+
+def dsir_weights_oracle_sql(
+    from_clause: str = "tokseq", final_cte: str | None = None
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` as a CTE fragment."""
+    sel = "SELECT * FROM ds_w"
+    base = _dsir_base_ctes(from_clause)
+    if final_cte is None:
+        return f"{base} {sel}"
+    return f"{base}, {final_cte} AS ({sel})"
+
+
+def dsir_sample_oracle_sql(
+    k: int, from_clause: str = "tokseq", final_cte: str | None = None
+) -> str:
+    """DuckDB twin of :func:`dsir_sample` as a CTE fragment."""
+    sel = (
+        f"SELECT *, CAST(row_number() OVER "
+        f"(ORDER BY key_micro DESC, doc_id) AS INTEGER) AS sample_rank "
+        f"FROM (SELECT * FROM ds_w ORDER BY key_micro DESC, doc_id "
+        f"LIMIT {k}) _t"
+    )
+    base = _dsir_base_ctes(from_clause)
+    if final_cte is None:
+        return f"{base} {sel}"
+    return f"{base}, {final_cte} AS ({sel})"
+
+
 def pack_blocks(
     tokseq: DataFrame,
     block_len: int,

@@ -459,9 +459,11 @@ _NB_LABEL = {
 }
 
 
-def _nb_weight_sql(c1: str, c0: str, n1: str, n0: str) -> str:
-    """Integer micro-nat log-odds weight — identical text both dialects."""
-    v = NB_BUCKETS
+def _nb_weight_sql(c1: str, c0: str, n1: str, n0: str, v: int = NB_BUCKETS) -> str:
+    """Integer micro-nat log-odds weight — identical text both dialects.
+
+    ``v`` is the smoothing vocabulary size (defaults to the NB bucket
+    count; DSIR reuses this with its own bucket count)."""
     return (
         f"CAST(floor(1000000.0 * ("
         f"ln(CAST({c1} + 1 AS DOUBLE)) - ln(CAST({n1} + {v} AS DOUBLE)) - "
@@ -602,6 +604,164 @@ def nb_quality_oracle_sql(
     )
     if final_cte is None:
         return f"WITH {base} {sel}" if from_clause != "tokseq" else f"{base} {sel}"
+    return f"{base}, {final_cte} AS ({sel})"
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity filter — hashed-bigram language model (CCNet analog)
+# ---------------------------------------------------------------------------
+# CCNet/RedPajama-style pipelines filter documents by the perplexity of
+# a small language model trained on a clean corpus: fluent text scores
+# low, boilerplate/garbage scores high. This is that stage as a
+# hashed-bigram LM with add-one smoothing — the bounded-model analog of
+# KenLM (contexts and bigrams hash into fixed bucket tables, so the
+# model is LM_CTX + LM_JOINT rows no matter the vocabulary):
+#
+#   logp(t_i | t_{i-1}) ~= ln(c_joint(jb) + 1) - ln(c_ctx(cb) + LM_JOINT)
+#     where cb = hash(t_{i-1}) mod LM_CTX, jb = hash(t_{i-1}, t_i) mod
+#     LM_JOINT, counts fitted on the deterministic train split.
+#
+# Per-position log-probs quantize to integer micro-nats (the NB idiom:
+# ln is libm-matched cross-engine, floor exact), so the per-doc negative
+# log-likelihood is an order-free integer sum and the whole filter is
+# value-oracle-checkable. The reported ``mnll_micro`` (mean NLL per
+# bigram, micro-nats) is the log of perplexity — monotone in it, so
+# thresholds translate directly.
+#
+# 100 TB shape: training is two groupBys of one exploded pass onto
+# LM_CTX + LM_JOINT keys (map-side partial agg; tiny model); scoring
+# broadcasts both tables — explode -> two broadcast joins -> integer
+# sum. Docs with < 2 tokens have no bigram positions and drop out
+# (explode semantics, same both engines).
+
+LM_CTX = 96
+LM_JOINT = 192
+LM_CM, LM_CO = 59, 13  # context-hash affine coefficients
+LM_M1, LM_M2, LM_OFF = 43, 103, 31  # joint-hash affine coefficients
+
+
+def _lm_pos_codes(spark: bool) -> str:
+    """Packed (cb * LM_JOINT + jb) code array over ``tokens`` — one int
+    per bigram position, split back with div/mod (exact both engines)."""
+    cb = f"((t1 * {LM_CM} + {LM_CO}) % {LM_CTX} + {LM_CTX}) % {LM_CTX}"
+    jb = (
+        f"((t1 * {LM_M1} + t2 * {LM_M2} + {LM_OFF}) "
+        f"% {LM_JOINT} + {LM_JOINT}) % {LM_JOINT}"
+    )
+    if spark:
+        code = (
+            f"({cb}) * {LM_JOINT} + ({jb})"
+            .replace("t1", "element_at(tokens, cast(i as int))")
+            .replace("t2", "element_at(tokens, cast(i + 1 as int))")
+        )
+        return (
+            f"transform(filter(sequence(1, size(tokens)), "
+            f"i -> i < size(tokens)), i -> {code})"
+        )
+    code = (
+        f"({cb}) * {LM_JOINT} + ({jb})"
+        .replace("t1", "tokens[i]")
+        .replace("t2", "tokens[i + 1]")
+    )
+    return f"list_transform(range(1, len(tokens)), i -> {code})"
+
+
+_LM_W = (
+    f"CAST(floor(1000000.0 * ("
+    f"ln(CAST(coalesce(cj, 0) + 1 AS DOUBLE)) - "
+    f"ln(CAST(coalesce(cc, 0) + {LM_JOINT} AS DOUBLE)))) AS BIGINT)"
+)
+_LM_SPLIT = "((({id}) * 9973 + 12345) % 100) < 80"
+
+
+def lm_train(tokseq: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fit the hashed-bigram LM on the deterministic 'train' split.
+
+    Returns ``(joint_tab, ctx_tab)``: (jb int, cj bigint) and
+    (cb int, cc bigint) count tables — sparse (unseen buckets absent;
+    scoring coalesces to 0). Both tiny lazy plans."""
+    num_id = "CAST(regexp_replace(doc_id, '[^0-9]', '') AS BIGINT)"
+    train = tokseq.where(F.expr(_LM_SPLIT.format(id=num_id)))
+    pos = train.select(
+        F.explode(F.expr(_lm_pos_codes(True))).alias("code")
+    ).select(
+        F.expr(f"code div {LM_JOINT}").alias("cb"),
+        F.expr(f"code % {LM_JOINT}").alias("jb"),
+    )
+    joint = pos.groupBy("jb").agg(F.count("*").cast("long").alias("cj"))
+    ctx = pos.groupBy("cb").agg(F.count("*").cast("long").alias("cc"))
+    return joint, ctx
+
+
+def lm_score(
+    tokseq: DataFrame, joint: DataFrame, ctx: DataFrame
+) -> DataFrame:
+    """Score every doc with a fitted LM (both tables broadcast).
+
+    Output: (doc_id, n_bigrams, nll_micro, mnll_micro) — total and
+    per-bigram mean negative log-likelihood in integer micro-nats."""
+    pos = tokseq.select(
+        "doc_id", F.explode(F.expr(_lm_pos_codes(True))).alias("code")
+    ).select(
+        "doc_id",
+        F.expr(f"code div {LM_JOINT}").alias("cb"),
+        F.expr(f"code % {LM_JOINT}").alias("jb"),
+    )
+    scored = (
+        pos.join(F.broadcast(joint), "jb", "left")
+        .join(F.broadcast(ctx), "cb", "left")
+        .withColumn("_w", F.expr(_LM_W))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("CAST(sum(-_w) AS BIGINT)").alias("nll_micro"),
+        )
+        .withColumn(
+            "mnll_micro",
+            F.expr(
+                "CAST(floor(CAST(nll_micro AS DOUBLE) / n_bigrams) AS BIGINT)"
+            ),
+        )
+    )
+
+
+def lm_perplexity(tokseq: DataFrame) -> DataFrame:
+    """Train on the deterministic 'train' split, score EVERY doc —
+    :func:`lm_train` + :func:`lm_score` in one lazy plan."""
+    joint, ctx = lm_train(tokseq)
+    return lm_score(tokseq, joint, ctx)
+
+
+def lm_perplexity_oracle_sql(
+    from_clause: str = "tokseq", final_cte: str | None = None
+) -> str:
+    """DuckDB twin of :func:`lm_perplexity` as a CTE fragment."""
+    num_id = "CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
+    sel = (
+        "SELECT doc_id, n_bigrams, nll_micro, "
+        "CAST(floor(CAST(nll_micro AS DOUBLE) / n_bigrams) AS BIGINT) "
+        "AS mnll_micro FROM lm_doc"
+    )
+    base = (
+        f"lm_pos AS (SELECT doc_id, u.code // {LM_JOINT} AS cb, "
+        f"u.code % {LM_JOINT} AS jb FROM "
+        f"(SELECT doc_id, {_lm_pos_codes(False)} AS cs FROM {from_clause}) t, "
+        f"unnest(t.cs) AS u(code)), "
+        f"lm_tr AS (SELECT cb, jb FROM lm_pos "
+        f"WHERE {_LM_SPLIT.format(id=num_id)}), "
+        f"lm_j AS (SELECT jb, CAST(count(*) AS BIGINT) AS cj "
+        f"FROM lm_tr GROUP BY jb), "
+        f"lm_c AS (SELECT cb, CAST(count(*) AS BIGINT) AS cc "
+        f"FROM lm_tr GROUP BY cb), "
+        f"lm_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        f"CAST(sum(-{_LM_W}) AS BIGINT) AS nll_micro "
+        f"FROM lm_pos LEFT JOIN lm_j USING (jb) LEFT JOIN lm_c USING (cb) "
+        f"GROUP BY doc_id)"
+    )
+    if final_cte is None:
+        return f"{base} {sel}"
     return f"{base}, {final_cte} AS ({sel})"
 
 

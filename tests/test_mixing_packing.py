@@ -55,6 +55,88 @@ def test_mixing_deterministic(spark, corpus):
     assert a == b
 
 
+@pytest.fixture(scope="module")
+def quality_corpus(spark):
+    """Half fluent-ish docs (distinct tokens), half degenerate
+    (one token repeated) — exercises the content-quality split the
+    learned selectors (DSIR / LM perplexity) should separate."""
+    rows = []
+    for i in range(120):
+        src = ["web", "books"][i % 2]
+        if i % 2 == 0:
+            toks = [(i * 13 + j * 7) % 50 for j in range(12)]  # varied
+        else:
+            toks = [i % 5] * 12                                # degenerate
+        rows.append((f"doc_{i}", toks, len(toks), src))
+    rows.append(("doc_short", [1], 1, "web"))   # too short for a bigram
+    rows.append(("doc_empty", [], 0, "web"))
+    return _mkdf(spark, rows)
+
+
+def test_dsir_weights_cover_all_docs(spark, quality_corpus):
+    out = mixing.dsir_weights(quality_corpus).collect()
+    assert len(out) == quality_corpus.count()
+    by_id = {r.doc_id: r for r in out}
+    # bigram feature count is n_tok - 1 (0 for too-short docs)
+    assert by_id["doc_short"].n_feats == 0
+    assert by_id["doc_empty"].n_feats == 0
+    assert by_id["doc_short"].lw_micro == 0
+    assert by_id["doc_0"].n_feats == 11
+    # key = weight + Gumbel noise, never equal to the bare weight
+    assert all(r.key_micro != r.lw_micro for r in out)
+
+
+def test_dsir_favors_target_like_docs(spark, quality_corpus):
+    out = mixing.dsir_weights(quality_corpus).collect()
+    varied = [r.lw_micro for r in out if r.doc_id.startswith("doc_") and
+              r.n_feats > 0 and int(r.doc_id.split("_")[1] or 0) % 2 == 0
+              if r.doc_id != "doc_short"]
+    degen = [r.lw_micro for r in out if r.n_feats > 0 and
+             r.doc_id not in ("doc_short", "doc_empty") and
+             int(r.doc_id.split("_")[1]) % 2 == 1]
+    assert sum(varied) / len(varied) > sum(degen) / len(degen)
+
+
+def test_dsir_sample_is_topk_of_weights(spark, quality_corpus):
+    k = 25
+    sample = mixing.dsir_sample(quality_corpus, k).collect()
+    assert len(sample) == k
+    assert sorted(r.sample_rank for r in sample) == list(range(1, k + 1))
+    # rank order follows (key desc, doc_id) and matches a brute-force
+    # top-k over the full weight frame
+    brute = sorted(
+        mixing.dsir_weights(quality_corpus).collect(),
+        key=lambda r: (-r.key_micro, r.doc_id),
+    )[:k]
+    got = sorted(sample, key=lambda r: r.sample_rank)
+    assert [r.doc_id for r in got] == [r.doc_id for r in brute]
+    # deterministic across runs
+    again = mixing.dsir_sample(quality_corpus, k).collect()
+    assert sorted((r.doc_id, r.sample_rank) for r in again) == sorted(
+        (r.doc_id, r.sample_rank) for r in sample
+    )
+
+
+def test_lm_perplexity_separates_quality(spark, quality_corpus):
+    from audio_feature_extraction_spark.operators import textstats
+
+    out = textstats.lm_perplexity(quality_corpus).collect()
+    by_id = {r.doc_id: r for r in out}
+    # docs without a bigram drop out (explode semantics)
+    assert "doc_short" not in by_id and "doc_empty" not in by_id
+    assert all(r.n_bigrams == 11 for r in out)
+    # degenerate docs repeat ONE bigram the train split saw often ->
+    # lower mean NLL than the varied docs on average; and every NLL is
+    # positive (probabilities < 1)
+    assert all(r.nll_micro > 0 for r in out)
+    varied = [r.mnll_micro for r in out if int(r.doc_id.split("_")[1]) % 2 == 0]
+    degen = [r.mnll_micro for r in out if int(r.doc_id.split("_")[1]) % 2 == 1]
+    assert sum(degen) / len(degen) < sum(varied) / len(varied)
+    # mean NLL is total NLL / n_bigrams, floored
+    for r in out:
+        assert r.mnll_micro == r.nll_micro // r.n_bigrams
+
+
 def test_packing_conservation(spark, corpus):
     B = 16
     out = mixing.pack_blocks(corpus, B).collect()
