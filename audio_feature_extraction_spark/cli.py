@@ -167,6 +167,7 @@ def cmd_prepare_corpus(args) -> int:
         substring_k=args.substring_k,
         semdedup_threshold=args.semdedup_threshold,
         nb_min_score=args.nb_min_score,
+        dsir_k=args.dsir_k,
     )
     mixed, blocks, report = corpus.prepare_corpus(spark, args.input, cfg)
     mixed.write.mode("overwrite").parquet(f"{args.output}/corpus")
@@ -423,6 +424,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="enable the learned Naive-Bayes quality "
                     "filter: drop docs scoring below this bound "
                     "(integer micro-nats; 0 = predicted low quality)")
+    sp.add_argument("--dsir-k", type=int, default=None,
+                    help="enable DSIR content-based selection: keep "
+                    "only the top-k docs under Gumbel-top-k importance "
+                    "resampling (log p_target/q_raw hashed-bigram "
+                    "weights)")
     sp.set_defaults(fn=cmd_prepare_corpus)
 
     args = p.parse_args(argv)

@@ -297,32 +297,36 @@ def dsir_weights(tokseq: DataFrame) -> DataFrame:
     the empty product) and compete on bare Gumbel noise.
     """
     lam = dsir_lambda_table(tokseq)
+    # source/n_tok ride through the explode so the per-doc aggregate
+    # needs NO join back to tokseq (a full doc_id shuffle join at
+    # corpus width); docs too short for a bigram are a narrow filter
+    # unioned in with zero weight
     feats = tokseq.select(
-        "doc_id", F.explode(F.expr(_dsir_feats(True))).alias("b")
+        "doc_id", "source", "n_tok",
+        F.explode(F.expr(_dsir_feats(True))).alias("b"),
     )
     sc = (
         feats.join(F.broadcast(lam), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source", "n_tok")
         .agg(
-            F.count("*").alias("_nf"),
-            F.sum("lam").alias("_lw"),
+            F.count("*").cast("long").alias("n_feats"),
+            F.expr("CAST(sum(lam) AS BIGINT)").alias("lw_micro"),
         )
+    )
+    short = tokseq.where(F.col("n_tok") < 2).select(
+        "doc_id", "source", "n_tok",
+        F.lit(0).cast("long").alias("n_feats"),
+        F.lit(0).cast("long").alias("lw_micro"),
     )
     num = "CAST(regexp_replace(doc_id, '[^0-9]', '') AS BIGINT)"
     g = _dsir_gumbel(num)
-    return (
-        tokseq.select("doc_id", "source", "n_tok")
-        .join(sc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "n_tok",
-            F.expr("CAST(coalesce(_nf, 0) AS BIGINT)").alias("n_feats"),
-            F.expr("CAST(coalesce(_lw, 0) AS BIGINT)").alias("lw_micro"),
-            F.expr(f"CAST(coalesce(_lw, 0) + {g} AS BIGINT)").alias(
-                "key_micro"
-            ),
-        )
+    return sc.unionByName(short).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "n_feats",
+        "lw_micro",
+        F.expr(f"CAST(lw_micro + {g} AS BIGINT)").alias("key_micro"),
     )
 
 

@@ -17,6 +17,9 @@ run executes, in the canonical order:
                        off by default)
 4. decontamination    (drop TRAIN docs sharing 8-gram shingles with the
                        held-out test split)
+4b. DSIR selection    (optional: Gumbel-top-k importance resampling to
+                       a fixed doc budget — content-based selection,
+                       Xie et al.; off by default)
 5. corpus mixing      (per-source rates with upsampling epochs)
 6. sequence packing   (fixed-length training-block manifest)
 
@@ -81,6 +84,12 @@ class CorpusConfig:
     # below this bound; the model trains on the pipeline's own
     # deterministic 'train' split. None = off; 0 = drop predicted-low.
     nb_min_score: int | None = None
+    # DSIR content-based selection (stage 4b): keep only the top-k docs
+    # under Gumbel-top-k importance resampling (mixing.dsir_sample —
+    # log p_target/q_raw over hashed bigrams). The budgeted selection a
+    # real pretraining run applies AFTER cleaning, before mixing.
+    # None = off.
+    dsir_k: int | None = None
     # per-stage row counts in the report. Each count materializes the
     # chain-so-far, so accounting caches every stage (persist + count,
     # released once the next stage lands). accounting=False skips the
@@ -251,6 +260,16 @@ def prepare_corpus(
         tagged.join(contaminated, "doc_id", "left_anti").drop("split"),
         "after_decontamination",
     )
+
+    # 4b. DSIR selection (optional): content-based importance
+    # resampling to a fixed doc budget — the k survivors' ids are tiny
+    # by construction, so the keep-filter is a broadcast semi join
+    if cfg.dsir_k is not None:
+        keep = mixing.dsir_sample(ts, cfg.dsir_k).select("doc_id")
+        ts = stage(
+            ts.join(F.broadcast(keep), "doc_id", "left_semi"),
+            "after_dsir",
+        )
 
     # 5. corpus mixing: per-source rates, deterministic epochs
     mixed = stage(

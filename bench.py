@@ -44,8 +44,8 @@ def run_queries(
     from audio_feature_extraction_spark.core.session import get_spark
     from audio_feature_extraction_spark.core.config import FrameSpec
     from audio_feature_extraction_spark.operators import (
-        asof, dedup, framing, inverse, sessionize, similarity, temporal,
-        textstats,
+        asof, dedup, framing, inverse, mixing, sessionize, similarity,
+        temporal, textstats,
     )
     from audio_feature_extraction_spark.sources.tokens import load_token_sequences
 
@@ -256,6 +256,12 @@ def run_queries(
         timed(
             "nb_quality",
             lambda: _noop(textstats.nb_quality(amplified)),
+        )
+        # DSIR content-based selection: fit-on-split + weight-everything
+        # + Gumbel-top-k (TakeOrdered) in one lazy plan
+        timed(
+            "dsir_sample",
+            lambda: _noop(mixing.dsir_sample(amplified, 1000)),
         )
     total = round(sum(timings.values()), 3)
     # frozen cross-round comparison set (VERDICT r04 #7): the nine

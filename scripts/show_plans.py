@@ -15,8 +15,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from audio_feature_extraction_spark.core.config import FrameSpec  # noqa: E402
 from audio_feature_extraction_spark.core.session import get_spark  # noqa: E402
 from audio_feature_extraction_spark.operators import (  # noqa: E402
-    asof, dedup, framing, inverse, sessionize, similarity, sketch,
-    textclean, textstats,
+    asof, dedup, framing, inverse, mixing, sessionize, similarity,
+    sketch, textclean, textstats,
 )
 from audio_feature_extraction_spark.sources.tokens import (  # noqa: E402
     load_token_sequences,
@@ -53,6 +53,10 @@ def main() -> None:
             textstats.nb_quality(ts),
         "hll_distinct (O(64) mergeable state)":
             sketch.hll_distinct_tokens(ts),
+        "dsir_sample (broadcast lam + TakeOrdered, no doc join)":
+            mixing.dsir_sample(ts, 50),
+        "lm_perplexity (two broadcast count tables)":
+            textstats.lm_perplexity(ts),
     }
     for name, df in plans.items():
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")

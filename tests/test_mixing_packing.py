@@ -428,3 +428,28 @@ def test_prepare_corpus_semdedup_and_nb_stages(spark):
     assert rep2["after_nb_quality"] == rep2["after_quality"] - len(
         low & {f"doc_{i}" for i in range(20)}
     )
+
+    # 4b. DSIR selection: caps the corpus at exactly k docs,
+    # deterministically; a budget above the corpus size is a no-op
+    mixed3, _b3, rep3 = corpus.prepare_corpus(
+        spark, "",
+        cfg=corpus.CorpusConfig(block_len=64, dsir_k=8),
+        docs=docs, tokseq=tokseq,
+    )
+    kept3 = {r.doc_id for r in mixed3.select("doc_id").distinct().collect()}
+    assert rep3["after_dsir"] == 8 and len(kept3) == 8
+    assert kept3 <= kept2 | low | kept  # subset of the cleaned corpus
+    mixed3b, _b3b, rep3b = corpus.prepare_corpus(
+        spark, "",
+        cfg=corpus.CorpusConfig(block_len=64, dsir_k=8),
+        docs=docs, tokseq=tokseq,
+    )
+    assert {
+        r.doc_id for r in mixed3b.select("doc_id").distinct().collect()
+    } == kept3
+    _m4, _b4, rep4 = corpus.prepare_corpus(
+        spark, "",
+        cfg=corpus.CorpusConfig(block_len=64, dsir_k=10_000),
+        docs=docs, tokseq=tokseq,
+    )
+    assert rep4["after_dsir"] == rep4["after_decontamination"]
