@@ -218,16 +218,21 @@ def _dsir_feats(spark: bool) -> str:
     """Hashed-bigram bucket array over ``tokens`` (pmod — token ids may
     be arbitrary ints)."""
     v, m1, m2, off = DSIR_BUCKETS, DSIR_M1, DSIR_M2, DSIR_OFF
+    # tokens promote to BIGINT before the multiplies: int32 × small
+    # constant wraps silently in Spark but errors in DuckDB near the
+    # int32 edge — the cast is value-identical for every in-range id
+    # and removes the divergence window (the _rate_hash precedent)
     if spark:
         return (
             f"transform(filter(sequence(1, size(tokens)), i -> i < size(tokens)), "
-            f"i -> ((element_at(tokens, cast(i as int)) * {m1} "
-            f"+ element_at(tokens, cast(i + 1 as int)) * {m2} + {off}) "
+            f"i -> ((bigint(element_at(tokens, cast(i as int))) * {m1} "
+            f"+ bigint(element_at(tokens, cast(i + 1 as int))) * {m2} + {off}) "
             f"% {v} + {v}) % {v})"
         )
     return (
         f"list_transform(range(1, len(tokens)), "
-        f"i -> ((tokens[i] * {m1} + tokens[i + 1] * {m2} + {off}) "
+        f"i -> ((CAST(tokens[i] AS BIGINT) * {m1} "
+        f"+ CAST(tokens[i + 1] AS BIGINT) * {m2} + {off}) "
         f"% {v} + {v}) % {v})"
     )
 
@@ -239,10 +244,13 @@ def _dsir_gumbel(num_expr: str) -> str:
     mult, off, mod = DSIR_G_MULT, DSIR_G_OFF, DSIR_G_MOD
     # digitless doc ids extract a NULL numeric id — pin them to 0 so
     # they still draw a (shared) Gumbel key instead of a NULL one;
-    # doc_id remains the deterministic tiebreak
+    # doc_id remains the deterministic tiebreak. The id reduces mod
+    # 2^20 BEFORE the multiply (the _rate_hash precedent): the product
+    # stays < 2^46, so an 18-digit id can't overflow int64 (Spark
+    # wraps, DuckDB errors — either way a divergence).
     u = (
-        f"((coalesce({num_expr}, 0) * {mult} + {off}) "
-        f"% {mod} + {mod}) % {mod}"
+        f"(((coalesce({num_expr}, 0) % {mod} + {mod}) % {mod}) "
+        f"* {mult} + {off}) % {mod}"
     )
     return (
         f"CAST(floor(1000000.0 * (0.0 - ln(0.0 - "
@@ -351,10 +359,13 @@ def _dsir_base_ctes(from_clause: str) -> str:
     from .textstats import _nb_weight_sql
 
     v = DSIR_BUCKETS
-    num = "CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
+    # TRY_CAST == Spark's non-ANSI CAST: digitless ids go NULL (then
+    # drop out of the split / coalesce to 0 in the Gumbel), instead of
+    # erroring the whole query as DuckDB's plain CAST would
+    num = "TRY_CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
     w = _nb_weight_sql("coalesce(c1, 0)", "coalesce(c0, 0)", "n1", "n0", v=v)
     g = _dsir_gumbel(
-        "CAST(regexp_replace(t.doc_id, '[^0-9]', '', 'g') AS BIGINT)"
+        "TRY_CAST(regexp_replace(t.doc_id, '[^0-9]', '', 'g') AS BIGINT)"
     )
     return (
         f"ds_tr AS (SELECT {_DSIR_TARGET[False]} AS is_t, tokens "

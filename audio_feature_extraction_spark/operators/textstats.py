@@ -648,11 +648,14 @@ def _lm_pos_codes(spark: bool) -> str:
         f"((t1 * {LM_M1} + t2 * {LM_M2} + {LM_OFF}) "
         f"% {LM_JOINT} + {LM_JOINT}) % {LM_JOINT}"
     )
+    # tokens promote to BIGINT before the multiplies (see _dsir_feats:
+    # Spark wraps int32 overflow, DuckDB errors — cast removes the
+    # divergence window, value-identical for in-range ids)
     if spark:
         code = (
             f"({cb}) * {LM_JOINT} + ({jb})"
-            .replace("t1", "element_at(tokens, cast(i as int))")
-            .replace("t2", "element_at(tokens, cast(i + 1 as int))")
+            .replace("t1", "bigint(element_at(tokens, cast(i as int)))")
+            .replace("t2", "bigint(element_at(tokens, cast(i + 1 as int)))")
         )
         return (
             f"transform(filter(sequence(1, size(tokens)), "
@@ -660,8 +663,8 @@ def _lm_pos_codes(spark: bool) -> str:
         )
     code = (
         f"({cb}) * {LM_JOINT} + ({jb})"
-        .replace("t1", "tokens[i]")
-        .replace("t2", "tokens[i + 1]")
+        .replace("t1", "CAST(tokens[i] AS BIGINT)")
+        .replace("t2", "CAST(tokens[i + 1] AS BIGINT)")
     )
     return f"list_transform(range(1, len(tokens)), i -> {code})"
 
@@ -738,7 +741,10 @@ def lm_perplexity_oracle_sql(
     from_clause: str = "tokseq", final_cte: str | None = None
 ) -> str:
     """DuckDB twin of :func:`lm_perplexity` as a CTE fragment."""
-    num_id = "CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
+    # TRY_CAST == Spark's non-ANSI CAST (digitless ids -> NULL, not an
+    # engine error); NULL < 80 is NULL so such docs drop out of the
+    # train split on both engines
+    num_id = "TRY_CAST(regexp_replace(doc_id, '[^0-9]', '', 'g') AS BIGINT)"
     sel = (
         "SELECT doc_id, n_bigrams, nll_micro, "
         "CAST(floor(CAST(nll_micro AS DOUBLE) / n_bigrams) AS BIGINT) "

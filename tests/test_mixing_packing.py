@@ -117,6 +117,61 @@ def test_dsir_sample_is_topk_of_weights(spark, quality_corpus):
     )
 
 
+def test_dsir_lm_parity_on_extreme_token_ids(spark):
+    """Spark-vs-DuckDB parity for the learned selectors on adversarial
+    token ids (int32 edges, negatives): the BIGINT-promoted hash
+    arithmetic must agree exactly where un-promoted int32 math would
+    wrap in Spark and error in DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from audio_feature_extraction_spark.operators import textstats
+
+    edge = [2147483647, -2147483648, -1, 0, 32767, -32768, 2147483000]
+    rows = []
+    for i in range(24):
+        toks = [edge[(i + j) % len(edge)] for j in range(6)] + [i * 3, i]
+        rows.append((f"doc_{i}", toks, len(toks), "web"))
+    rows.append(("doc_nodigits", [2147483647, -2147483648], 2, "web"))
+    tokseq = _mkdf(spark, rows)
+
+    sw = (
+        mixing.dsir_weights(tokseq)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    sl = (
+        textstats.lm_perplexity(tokseq)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "tokens", "n_tok", "source"]
+    )
+    con.register("tokseq_t", pdf)
+    pre = (
+        "WITH tokseq AS (SELECT doc_id, "
+        "CAST(tokens AS BIGINT[]) AS tokens, n_tok, source FROM tokseq_t)"
+    )
+    ow = con.execute(
+        f"{pre}, {mixing.dsir_weights_oracle_sql('tokseq')} ORDER BY doc_id"
+    ).df()
+    ol = con.execute(
+        f"{pre}, {textstats.lm_perplexity_oracle_sql('tokseq')} "
+        f"ORDER BY doc_id"
+    ).df()
+    assert len(sw) == len(ow) == len(rows)
+    for c in ["n_feats", "lw_micro", "key_micro"]:
+        assert (sw[c].values == ow[c].values).all(), c
+    assert len(sl) == len(ol) == len(rows)  # every doc has >= 1 bigram
+    for c in ["n_bigrams", "nll_micro", "mnll_micro"]:
+        assert (sl[c].values == ol[c].values).all(), c
+
+
 def test_lm_perplexity_separates_quality(spark, quality_corpus):
     from audio_feature_extraction_spark.operators import textstats
 
