@@ -1,11 +1,13 @@
 """Container sniffing + real metadata extraction over binary columns.
 
 ``probe_payload`` recognizes every format the engine handles — WAV,
-FLAC, MP3, OGG (Vorbis/Opus), MP4/ISO-BMFF video, PNG, BMP — from
-magic bytes and parses the real header metadata without decoding
-samples/pixels: WAV fmt chunk, FLAC STREAMINFO, the MP3 frame walk
-(multimodal/mpeg.py), the Ogg page walk (multimodal/ogg.py), the
-ISO-BMFF box walk (multimodal/mp4.py), PNG IHDR, BMP info header.
+FLAC, MP3, OGG (Vorbis/Opus), MP4/ISO-BMFF, AVI, Matroska/WebM video,
+PNG, BMP — from magic bytes and parses the real header metadata
+without decoding samples/pixels: WAV fmt chunk, FLAC STREAMINFO, the
+MP3 frame walk (multimodal/mpeg.py), the Ogg page walk
+(multimodal/ogg.py), the ISO-BMFF box walk (multimodal/mp4.py), the
+AVI RIFF hdrl walk (multimodal/avi.py), the EBML element walk
+(multimodal/mkv.py), PNG IHDR, BMP info header.
 
 ``probe_media_metadata`` lifts it to a DataFrame operator: an
 Arrow-batched narrow map over the payload scan (decode-where-the-
@@ -103,7 +105,39 @@ def probe_payload(payload: bytes) -> dict:
     payloads — callers in skip mode record and continue."""
     b = bytes(payload)
     if b[:4] == b"RIFF":
+        if b[8:12] == b"AVI ":
+            from audio_feature_extraction_spark.multimodal.avi import parse_avi
+
+            info = parse_avi(b)
+            audio = next(
+                (s for s in info.streams if s.kind == "audio"), None
+            )
+            return {
+                "container": "avi",
+                "codec": info.video_codec or info.audio_codec,
+                "channels": audio.channels if audio else None,
+                "sample_rate": audio.sample_rate if audio else None,
+                "width": info.width,
+                "height": info.height,
+                "n_frames": info.n_frames,
+                "duration_s": info.duration_s,
+            }
         return _probe_wav(b)
+    if b[:4] == b"\x1aE\xdf\xa3":
+        from audio_feature_extraction_spark.multimodal.mkv import parse_mkv
+
+        info = parse_mkv(b)
+        video = next((t for t in info.tracks if t.kind == "video"), None)
+        audio = next((t for t in info.tracks if t.kind == "audio"), None)
+        return {
+            "container": "webm" if info.doc_type == "webm" else "mkv",
+            "codec": info.video_codec or info.audio_codec,
+            "channels": audio.channels if audio else None,
+            "sample_rate": audio.sample_rate if audio else None,
+            "width": video.width if video else None,
+            "height": video.height if video else None,
+            "duration_s": info.duration_s,
+        }
     if b[:4] == b"fLaC":
         return _probe_flac(b)
     if b[:4] == b"OggS":

@@ -515,3 +515,207 @@ def test_probe_recognizes_mp4():
     assert meta["duration_s"] == 3.0
     assert meta["n_frames"] == 90
     assert meta["sample_rate"] == 48000
+
+
+# ---------------------------------------------------------------------------
+# AVI / RIFF form (multimodal/avi.py)
+# ---------------------------------------------------------------------------
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + len(body).to_bytes(4, "little") + body + (b"\x00" * (len(body) & 1))
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def _avih(us_per_frame, total, n_streams, w, h) -> bytes:
+    import struct as _s
+
+    return _riff_chunk(
+        b"avih",
+        _s.pack("<10I", us_per_frame, 0, 0, 0, total, 0, n_streams, 0, w, h),
+    )
+
+
+def _strh(fcc_type: bytes, handler: bytes, scale: int, rate: int, length: int) -> bytes:
+    import struct as _s
+
+    body = (
+        fcc_type + handler + bytes(12)
+        + _s.pack("<II", scale, rate) + bytes(4)
+        + length.to_bytes(4, "little") + bytes(20)
+    )
+    return _riff_chunk(b"strh", body)
+
+
+def _avi_fixture() -> bytes:
+    import struct as _s
+
+    vids = _riff_list(
+        b"strl",
+        _strh(b"vids", b"XVID", 1001, 30000, 900)
+        + _riff_chunk(
+            b"strf",
+            # BITMAPINFOHEADER: biSize, biWidth, biHeight, planes, bpp, biCompression
+            _s.pack("<IiiHH4s", 40, 640, -360, 1, 24, b"XVID") + bytes(20),
+        ),
+    )
+    auds = _riff_list(
+        b"strl",
+        _strh(b"auds", bytes(4), 1, 48000, 48000 * 30)
+        + _riff_chunk(b"strf", _s.pack("<HHI", 1, 2, 48000) + bytes(8)),
+    )
+    hdrl = _riff_list(b"hdrl", _avih(33367, 900, 2, 640, 360) + vids + auds)
+    movi = _riff_list(b"movi", _riff_chunk(b"00dc", b"\x00" * 16))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_full_fixture():
+    from audio_feature_extraction_spark.multimodal.avi import parse_avi
+
+    info = parse_avi(_avi_fixture())
+    assert (info.width, info.height) == (640, 360)
+    assert info.n_frames == 900 and info.n_streams == 2
+    assert abs(info.duration_s - 900 * 33367 / 1e6) < 1e-9
+    assert info.video_codec == "xvid"
+    v, a = info.streams
+    assert v.kind == "video" and abs(v.fps - 30000 / 1001) < 1e-9
+    assert (v.width, v.height) == (640, 360)
+    assert a.kind == "audio" and a.sample_rate == 48000 and a.channels == 2
+    assert a.codec == "wave_fmt_1"
+
+
+def test_avi_corruption_and_mismatch():
+    from audio_feature_extraction_spark.multimodal.avi import AviError, parse_avi
+
+    good = _avi_fixture()
+    with pytest.raises(AviError, match="not an AVI"):
+        parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # declared chunk size overrunning the buffer raises
+    blob = bytearray(good)
+    blob[16] = 0xFF  # hdrl LIST size becomes enormous
+    with pytest.raises(AviError, match="overruns"):
+        parse_avi(bytes(blob))
+    # avih stream count disagreeing with strl count raises
+    import struct as _s
+
+    hdrl = _riff_list(b"hdrl", _avih(1000, 10, 3, 8, 8))
+    body = b"AVI " + hdrl
+    with pytest.raises(AviError, match="streams"):
+        parse_avi(b"RIFF" + len(body).to_bytes(4, "little") + body)
+    with pytest.raises(AviError, match="avih"):
+        body2 = b"AVI " + _riff_list(b"hdrl", _riff_chunk(b"JUNK", bytes(4)))
+        parse_avi(b"RIFF" + len(body2).to_bytes(4, "little") + body2)
+
+
+def test_probe_recognizes_avi_and_keeps_wav():
+    from audio_feature_extraction_spark.multimodal.probe import probe_payload
+
+    meta = probe_payload(_avi_fixture())
+    assert meta["container"] == "avi"
+    assert meta["codec"] == "xvid"
+    assert meta["width"] == 640 and meta["height"] == 360
+    assert meta["n_frames"] == 900
+    assert meta["sample_rate"] == 48000 and meta["channels"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (multimodal/mkv.py)
+# ---------------------------------------------------------------------------
+
+def _eid(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _esize(n: int) -> bytes:
+    length = 1
+    while n >= (1 << (7 * length)) - 1:
+        length += 1
+    return (n | (1 << (7 * length))).to_bytes(length, "big")
+
+
+def _elem(eid: int, body: bytes) -> bytes:
+    return _eid(eid) + _esize(len(body)) + body
+
+
+def _euint(eid: int, v: int) -> bytes:
+    return _elem(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def _efloat(eid: int, v: float) -> bytes:
+    import struct as _s
+
+    return _elem(eid, _s.pack(">d", v))
+
+
+def _mkv_fixture(doc_type: bytes = b"webm", unknown_segment_size: bool = False) -> bytes:
+    header = _elem(0x1A45DFA3, _elem(0x4282, doc_type))
+    info = _elem(
+        0x1549A966,
+        _euint(0x2AD7B1, 1_000_000) + _efloat(0x4489, 2500.0),
+    )
+    video_track = _elem(
+        0xAE,
+        _euint(0x83, 1)
+        + _elem(0x86, b"V_VP9")
+        + _elem(0xE0, _euint(0xB0, 1280) + _euint(0xBA, 720)),
+    )
+    audio_track = _elem(
+        0xAE,
+        _euint(0x83, 2)
+        + _elem(0x86, b"A_OPUS")
+        + _elem(0xE1, _efloat(0xB5, 48000.0) + _euint(0x9F, 2)),
+    )
+    tracks = _elem(0x1654AE6B, video_track + audio_track)
+    seg_body = info + tracks
+    if unknown_segment_size:
+        return header + _eid(0x18538067) + b"\xff" + seg_body
+    return header + _elem(0x18538067, seg_body)
+
+
+def test_mkv_full_fixture():
+    from audio_feature_extraction_spark.multimodal.mkv import parse_mkv
+
+    info = parse_mkv(_mkv_fixture())
+    assert info.doc_type == "webm"
+    assert info.timestamp_scale_ns == 1_000_000
+    assert abs(info.duration_s - 2.5) < 1e-9
+    assert info.n_tracks == 2
+    assert info.video_codec == "V_VP9" and info.audio_codec == "A_OPUS"
+    v, a = info.tracks
+    assert (v.width, v.height) == (1280, 720)
+    assert a.sample_rate == 48000 and a.channels == 2
+
+
+def test_mkv_unknown_size_segment_and_corruption():
+    from audio_feature_extraction_spark.multimodal.mkv import MkvError, parse_mkv
+
+    # unknown-size Segment (live-mux convention) extends to end of buffer
+    info = parse_mkv(_mkv_fixture(unknown_segment_size=True))
+    assert info.n_tracks == 2 and abs(info.duration_s - 2.5) < 1e-9
+
+    good = _mkv_fixture(doc_type=b"matroska")
+    assert parse_mkv(good).doc_type == "matroska"
+    with pytest.raises(MkvError, match="EBML header"):
+        parse_mkv(_elem(0x18538067, b""))
+    with pytest.raises(MkvError, match="Segment"):
+        parse_mkv(_elem(0x1A45DFA3, _elem(0x4282, b"webm")))
+    with pytest.raises(MkvError, match="vint|truncated|overruns"):
+        parse_mkv(good[:-3])
+    with pytest.raises(MkvError, match="lead byte"):
+        parse_mkv(b"\x00" + good)
+
+
+def test_probe_recognizes_mkv_and_webm():
+    from audio_feature_extraction_spark.multimodal.probe import probe_payload
+
+    meta = probe_payload(_mkv_fixture())
+    assert meta["container"] == "webm"
+    assert meta["codec"] == "V_VP9"
+    assert meta["width"] == 1280 and meta["height"] == 720
+    assert meta["sample_rate"] == 48000 and meta["channels"] == 2
+    assert abs(meta["duration_s"] - 2.5) < 1e-9
+    meta2 = probe_payload(_mkv_fixture(doc_type=b"matroska"))
+    assert meta2["container"] == "mkv"
