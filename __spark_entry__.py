@@ -1339,11 +1339,68 @@ def q_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.unionByName(b)
 
 
+_CMS_K = 20
+_CMS_WIDTHS = (("cmsw", 1024), ("cmsn", 64))
+# deterministic skew for the CMS demo (the synthetic corpus is near-
+# uniform, like dup_spans' x20 amplification): every 16th bigram code
+# carries weight 30, the rest weight 1 — so the narrow sketch (w=64,
+# ~14 keys/cell) must SEPARATE real hitters from collision noise while
+# the wide sketch (w=1024) sits in the near-exact regime.
+_CMS_WEIGHT_CASE = "CAST(CASE WHEN {t} % 16 = 0 THEN 30 ELSE 1 END AS BIGINT)"
+
+
+def _cms_long_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min top-20 heavy hitters as long (k, n) rows: per width
+    variant, 'cms{w|n}_<token>_est' (the min-of-d counter estimate) and
+    '..._exact' (the groupBy truth the sketch replaces at scale)."""
+    stream = (
+        load_token_sequences(spark, sf_dir)
+        .selectExpr(f"{sketch._BIGRAM_EXPLODE} as t")
+        .selectExpr("t", _CMS_WEIGHT_CASE.format(t="t") + " as w")
+    )
+    out = None
+    for tag, width in _CMS_WIDTHS:
+        hh = sketch.cms_topk(stream, _CMS_K, width=width)
+        long = hh.selectExpr(
+            f"explode(array("
+            f"struct(concat('{tag}_', token, '_est') as k, cms_est as n), "
+            f"struct(concat('{tag}_', token, '_exact') as k, "
+            f"exact_freq as n))) as s"
+        ).select("s.k", "s.n")
+        out = long if out is None else out.unionByName(long)
+    return out
+
+
+def _cms_long_oracle() -> str:
+    stream_sql = (
+        f"SELECT u.t AS t, {_CMS_WEIGHT_CASE.format(t='u.t')} AS w "
+        f"FROM (SELECT {sketch._BIGRAM_LIST} AS bs FROM tokseq) tb, "
+        f"unnest(tb.bs) u(t)"
+    )
+    parts = []
+    for tag, width in _CMS_WIDTHS:
+        sub = (
+            f"(WITH tokseq AS ({token_sequences_duckdb_cte('')}), "
+            f"cms_stream AS ({stream_sql}), "
+            f"{sketch.cms_oracle_sql(_CMS_K, width=width, tag=tag)})"
+        )
+        parts.append(
+            f"SELECT '{tag}_' || CAST(token AS VARCHAR) || '_est' AS k, "
+            f"cms_est AS n FROM {sub} _e{tag}"
+        )
+        parts.append(
+            f"SELECT '{tag}_' || CAST(token AS VARCHAR) || '_exact' AS k, "
+            f"exact_freq AS n FROM {sub} _x{tag}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_validation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level stats, long format (k, n): P8 validation counts,
     length histogram, and the HyperLogLog distinct sketch next to its
     exact counts (the estimate is value-oracle-checked — the whole
-    sketch pipeline is cross-engine exact, operators/sketch.py)."""
+    sketch pipeline is cross-engine exact, operators/sketch.py), plus
+    the count-min top-20 heavy hitters at two widths (est + exact)."""
     v = q_validation_counts(spark, sf_dir).select(
         F.col("check").alias("k"), F.col("n")
     )
@@ -1352,7 +1409,8 @@ def q_validation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n"),
     )
     hll = sketch.hll_distinct_tokens(load_token_sequences(spark, sf_dir))
-    return v.unionByName(h).unionByName(hll)
+    cms = _cms_long_rows(spark, sf_dir)
+    return v.unionByName(h).unionByName(hll).unionByName(cms)
 
 
 # ---------------------------------------------------------------------------
@@ -2030,7 +2088,8 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL SELECT 'len_' || CAST(bucket AS VARCHAR) AS k, "
             f"n_docs AS n FROM ({leaf['length_histogram']}) _h "
             f"UNION ALL SELECT k, n FROM "
-            f"({_tok_cte()}, {sketch.hll_oracle_sql()}) _s"
+            f"({_tok_cte()}, {sketch.hll_oracle_sql()}) _s "
+            f"UNION ALL {_cms_long_oracle()}"
         ),
         "repetition_stats": textstats.repetition_stats_oracle_sql(),
         "pit_feature_serving": leaf["pit_feature_serving"],

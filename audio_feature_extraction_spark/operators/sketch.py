@@ -203,3 +203,131 @@ def hll_oracle_sql(tok_from: str = "tokseq") -> str:
             f"FROM (SELECT rarr FROM harr_{tag}) _a"
         )
     return f"{', '.join(ctes)} {' UNION ALL '.join(sels)}"
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+# The frequency twin of the HLL above: d x w integer counters that
+# merge by element-wise ADDITION, so per-shard sketches union without
+# rescanning and the shuffle is O(d*w) rows per partition regardless of
+# input size. Estimate = min over the d rows of the counter each row
+# hashes the key into (Cormode & Muthukrishnan 2005); the one-sided
+# guarantee est >= exact always holds and is asserted in tests. Unlike
+# the HLL estimate there is NO float arithmetic anywhere — counters and
+# estimates are plain integers, so cross-engine exactness is free.
+#
+# Row hashes reuse the affine+square mixer documented at HLL_A1 with
+# per-row classic public LCG multipliers (Numerical Recipes / glibc /
+# Borland constants); key < 2^31 keeps every product < 2^62.
+
+CMS_D = 4
+CMS_W = 1024
+CMS_AS = (1103515245, 1664525, 22695477, 69069)
+
+
+def _cms_hash_sql(col: str, r: int, width: int = CMS_W) -> str:
+    x = f"(CAST({col} AS BIGINT) * {CMS_AS[r]} + {HLL_B}) % {HLL_P}"
+    mixed = f"((({x}) % {_M31}) * (({x}) % {_M31}) + ({x})) % {HLL_P}"
+    return f"CAST(({mixed}) % {width} AS INTEGER)"
+
+
+def cms_counters(
+    stream: DataFrame,
+    key_col: str = "t",
+    weight_col: str = "w",
+    width: int = CMS_W,
+) -> DataFrame:
+    """(r, b, cnt) — the mergeable state, <= CMS_D * CMS_W rows. One
+    tiny shuffle (map-side partial sum); sketches from different shards
+    merge by unioning and re-summing per (r, b)."""
+    structs = ", ".join(
+        f"struct({r} as r, {_cms_hash_sql(key_col, r, width)} as b)"
+        for r in range(CMS_D)
+    )
+    return (
+        stream.selectExpr(
+            f"explode(array({structs})) as rb", f"{weight_col} as w"
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def cms_topk(
+    stream: DataFrame,
+    k: int = 20,
+    key_col: str = "t",
+    weight_col: str = "w",
+    width: int = CMS_W,
+) -> DataFrame:
+    """Top-k heavy hitters by CMS estimate, exact counts alongside:
+    (token, cms_est, exact_freq), ordered (est DESC, token) with a
+    deterministic boundary cut.
+
+    The candidate set here is the exact per-key aggregate — the shuffle
+    the sketch replaces at scale — shipped ON PURPOSE so the contract
+    row proves the one-sided error (est >= exact) instead of asserting
+    it. At 100 TB candidates come from a per-partition local top-k
+    (Misra-Gries style) unioned across shards, and only the counter
+    table (CMS_D x CMS_W rows, broadcastable forever) is global state.
+    Selection is orderBy+limit = TakeOrdered, never a global sort."""
+    counters = cms_counters(stream, key_col, weight_col, width)
+    exact = (
+        stream.groupBy(F.col(key_col).alias("token"))
+        .agg(F.sum(weight_col).cast("long").alias("exact_freq"))
+    )
+    structs = ", ".join(
+        f"struct({r} as r, {_cms_hash_sql('token', r, width)} as b)"
+        for r in range(CMS_D)
+    )
+    est = (
+        exact.selectExpr(
+            "token", "exact_freq", f"explode(array({structs})) as rb"
+        )
+        .join(
+            F.broadcast(counters),
+            (F.col("rb.r") == counters.r) & (F.col("rb.b") == counters.b),
+        )
+        .groupBy("token", "exact_freq")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.select("token", "cms_est", "exact_freq")
+        .orderBy(F.desc("cms_est"), "token")
+        .limit(k)
+    )
+
+
+def cms_oracle_sql(
+    k: int = 20,
+    stream_cte: str = "cms_stream",
+    width: int = CMS_W,
+    tag: str = "cms",
+) -> str:
+    """DuckDB twin over a (t, w) stream CTE named ``stream_cte``:
+    counters -> per-key min estimate -> same (est DESC, token) cut.
+    CTE fragment + final SELECT, concatenated after the stream CTE;
+    ``tag`` prefixes the CTE names so two sketch variants can share one
+    WITH chain."""
+    branches = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_hash_sql('t', r, width)} AS b, w "
+        f"FROM {stream_cte}"
+        for r in range(CMS_D)
+    )
+    est_branches = " UNION ALL ".join(
+        f"SELECT token, exact_freq, {r} AS r, "
+        f"{_cms_hash_sql('token', r, width)} AS b FROM {tag}_exact"
+        for r in range(CMS_D)
+    )
+    return (
+        f"{tag}_cnt AS (SELECT r, b, CAST(sum(w) AS BIGINT) AS cnt "
+        f"FROM ({branches}) _s GROUP BY 1, 2), "
+        f"{tag}_exact AS (SELECT t AS token, CAST(sum(w) AS BIGINT) AS "
+        f"exact_freq FROM {stream_cte} GROUP BY 1), "
+        f"{tag}_est AS (SELECT e.token, e.exact_freq, min(c.cnt) AS cms_est "
+        f"FROM ({est_branches}) e JOIN {tag}_cnt c ON e.r = c.r AND e.b = c.b "
+        f"GROUP BY 1, 2) "
+        f"SELECT token, cms_est, exact_freq FROM {tag}_est "
+        f"ORDER BY cms_est DESC, token LIMIT {k}"
+    )

@@ -136,3 +136,85 @@ def test_sample_quota_is_prefix_stable(spark):
     small = {r.doc_id for r in mixing.sample_quota(ts, 5).collect()}
     big = {r.doc_id for r in mixing.sample_quota(ts, 12).collect()}
     assert small < big
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (operators/sketch.py CMS section)
+# ---------------------------------------------------------------------------
+
+def _py_cms(pairs, width):
+    """Pure-python witness: counters and min-of-d estimates."""
+    cnt = {}
+    for t, w in pairs:
+        for r in range(sketch.CMS_D):
+            x = (t * sketch.CMS_AS[r] + sketch.HLL_B) % sketch.HLL_P
+            h = ((x % 2147483647) ** 2 + x) % sketch.HLL_P
+            cnt[(r, h % width)] = cnt.get((r, h % width), 0) + w
+    def est(t):
+        vals = []
+        for r in range(sketch.CMS_D):
+            x = (t * sketch.CMS_AS[r] + sketch.HLL_B) % sketch.HLL_P
+            h = ((x % 2147483647) ** 2 + x) % sketch.HLL_P
+            vals.append(cnt.get((r, h % width), 0))
+        return min(vals)
+    return cnt, est
+
+
+def _stream_df(spark, pairs):
+    return spark.createDataFrame(pairs, schema="t long, w long")
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(1, 40)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([16, 64]),
+)
+@settings(max_examples=8, deadline=None)
+def test_cms_matches_python_witness_and_overestimates(spark, pairs, width):
+    cnt, est = _py_cms(pairs, width)
+    exact = {}
+    for t, w in pairs:
+        exact[t] = exact.get(t, 0) + w
+    df = _stream_df(spark, pairs)
+    got = {
+        (r.r, r.b): r.cnt
+        for r in sketch.cms_counters(df, width=width).collect()
+    }
+    assert got == cnt
+    topk = sketch.cms_topk(df, k=len(exact), width=width).collect()
+    assert len(topk) == len(exact)
+    for row in topk:
+        assert row.exact_freq == exact[row.token]
+        assert row.cms_est == est(row.token)
+        assert row.cms_est >= row.exact_freq  # one-sided CMS guarantee
+
+
+def test_cms_counters_merge_by_sum(spark):
+    pairs = [(t % 97, 1 + t % 5) for t in range(400)]
+    whole = {
+        (r.r, r.b): r.cnt
+        for r in sketch.cms_counters(_stream_df(spark, pairs)).collect()
+    }
+    merged: dict = {}
+    for half in (pairs[:200], pairs[200:]):
+        for r in sketch.cms_counters(_stream_df(spark, half)).collect():
+            merged[(r.r, r.b)] = merged.get((r.r, r.b), 0) + r.cnt
+    assert merged == whole
+
+
+def test_cms_narrow_width_overcounts_but_ranks_hitters(spark):
+    # 64 distinct keys into width 16: collisions are guaranteed, so some
+    # estimate strictly exceeds its exact count — yet the two planted
+    # heavy keys must still lead the top-k (est >= exact ranks them
+    # above any background key's inflated estimate only if separation
+    # holds; weight 500 vs background <= 5*16 noise bound keeps it).
+    pairs = [(t, 1 + t % 5) for t in range(64)] + [(7, 500), (23, 500)]
+    df = _stream_df(spark, pairs)
+    rows = sketch.cms_topk(df, k=4, width=16).collect()
+    assert {rows[0].token, rows[1].token} == {7, 23}
+    all_rows = sketch.cms_topk(df, k=64, width=16).collect()
+    assert any(r.cms_est > r.exact_freq for r in all_rows)
+    assert all(r.cms_est >= r.exact_freq for r in all_rows)
