@@ -1288,7 +1288,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash + rolling-hash fingerprint, long format (doc_id, kind, value)."""
+    """SimHash + whole-doc rolling-hash fingerprint + winnowing local
+    fingerprints (MOSS; value = gram_hash * 2^20 + pos, the packed
+    selector), long format (doc_id, kind, value)."""
     ts = load_token_sequences(spark, sf_dir)
     sh = dedup.simhash(ts).select(
         "doc_id",
@@ -1300,7 +1302,14 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fingerprint").alias("kind"),
         F.col("fingerprint").cast("long").alias("value"),
     )
-    return sh.unionByName(fp)
+    wn = textstats.winnow_fingerprints(ts).select(
+        "doc_id",
+        F.lit("winnow").alias("kind"),
+        (
+            F.col("gram_hash") * textstats._WIN_POS + F.col("pos")
+        ).cast("long").alias("value"),
+    )
+    return sh.unionByName(fp).unionByName(wn)
 
 
 def q_keys_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2159,7 +2168,10 @@ def oracle_sql() -> dict[str, str]:
             f"AS value FROM ({leaf['simhash']}) _s "
             f"UNION ALL SELECT doc_id, 'fingerprint' AS kind, "
             f"CAST(fingerprint AS BIGINT) AS value "
-            f"FROM ({leaf['fingerprints']}) _f"
+            f"FROM ({leaf['fingerprints']}) _f "
+            f"UNION ALL SELECT doc_id, 'winnow' AS kind, "
+            f"gram_hash * {textstats._WIN_POS} + pos AS value "
+            f"FROM ({_tok_cte()} {textstats.winnow_oracle_sql()}) _w"
         ),
         "keys_json": (
             f"SELECT 'sample_key' AS kind, CAST(doc_id AS VARCHAR) AS id, "

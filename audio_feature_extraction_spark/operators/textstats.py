@@ -812,3 +812,140 @@ def nb_expr_score(
             "predicted"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing — local document fingerprints (Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+# The MOSS algorithm: hash every k-gram with a polynomial rolling hash,
+# slide a window of w consecutive gram hashes, keep each window's
+# minimum (ties -> leftmost position, via packing the position into the
+# low bits) — the distinct selected (hash, pos) pairs are the document's
+# fingerprints. Guarantee: any substring match of length >= w + k - 1
+# between two documents shares at least one selected fingerprint, at an
+# expected density of 2/(w+1) grams — a sparse signature that turns
+# substring-overlap detection into an equi-join on 8-byte keys.
+#
+# Everything is integer arithmetic both engines evaluate exactly:
+# gram hash h = fold (h*B + tok) % P with B < 2^20 and P < 2^40 keeps
+# every product < 2^60; the packed selector hash*2^20 + pos < 2^60.
+# Compute shape: one narrow projection over the tokens scan (two HOF
+# stages, zero shuffle, zero Python).
+
+WINNOW_K = 4                    # gram length (tokens)
+WINNOW_W = 8                    # winnow window (grams)
+_WIN_B = 1048573                # polynomial base, prime < 2^20
+_WIN_P = 1099511627689          # modulus, prime < 2^40
+_WIN_POS = 1 << 20              # position packing (doc len < 2^20)
+
+
+def _winnow_packed_sql(spark: bool, k: int, col: str) -> str:
+    """Array of position-packed gram hashes: element i (1-based) is
+    hash(tokens[i..i+k-1]) * 2^20 + (i-1)."""
+    if spark:
+        gh = (
+            f"aggregate(sequence(i, i + {k - 1}), 0L, "
+            f"(h, j) -> (h * {_WIN_B} + element_at({col}, j)) % {_WIN_P})"
+        )
+        return (
+            f"transform(sequence(1, size({col}) - {k - 1}), "
+            f"i -> ({gh}) * {_WIN_POS} + (i - 1))"
+        )
+    gh = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"{col}[i:i + {k - 1}]), (h, t) -> (h * {_WIN_B} + t) % {_WIN_P})"
+    )
+    return (
+        f"list_transform(range(1, len({col}) - {k - 2}), "
+        f"i -> ({gh}) * {_WIN_POS} + (i - 1))"
+    )
+
+
+def _winnow_select_sql(spark: bool, w: int, ph: str) -> str:
+    """Distinct window minima over the packed-hash array ``ph``: one
+    window per start s = 1..max(1, g-w+1); a short array is one window."""
+    if spark:
+        return (
+            f"array_distinct(transform("
+            f"sequence(1, greatest(1, size({ph}) - {w - 1})), "
+            f"s -> array_min(slice({ph}, s, {w}))))"
+        )
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(1, len({ph}) - {w - 1}) + 1), "
+        f"s -> list_min({ph}[s:s + {w - 1}])))"
+    )
+
+
+def winnow_fingerprints(
+    tokseq: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, pos, gram_hash) — the selected fingerprints, exploded.
+    Documents shorter than k tokens have none (no rows)."""
+    ph = tokseq.where(F.expr(f"size(tokens) >= {k}")).selectExpr(
+        "doc_id", f"{_winnow_packed_sql(True, k, 'tokens')} as _ph"
+    )
+    return ph.selectExpr(
+        "doc_id",
+        f"explode({_winnow_select_sql(True, w, '_ph')}) as packed",
+    ).selectExpr(
+        "doc_id",
+        f"cast(packed % {_WIN_POS} as int) as pos",
+        f"packed div {_WIN_POS} as gram_hash",
+    )
+
+
+def winnow_oracle_sql(
+    from_clause: str = "tokseq", k: int = WINNOW_K, w: int = WINNOW_W
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (same 3 columns)."""
+    return (
+        f"SELECT doc_id, "
+        f"CAST(u.packed % {_WIN_POS} AS INTEGER) AS pos, "
+        f"u.packed // {_WIN_POS} AS gram_hash "
+        f"FROM (SELECT doc_id, "
+        f"{_winnow_select_sql(False, w, 'ph')} AS sel "
+        f"FROM (SELECT doc_id, {_winnow_packed_sql(False, k, 'tokens')} "
+        f"AS ph FROM {from_clause} WHERE len(tokens) >= {k}) _p) _s, "
+        f"unnest(_s.sel) u(packed)"
+    )
+
+
+def winnow_pairs(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    max_doc_freq: int = 64,
+) -> DataFrame:
+    """Candidate overlap pairs from shared fingerprints:
+    (doc_a, doc_b, n_shared), doc_a < doc_b, n_shared = distinct shared
+    gram hashes >= ``min_shared``.
+
+    Scale shape (the LSH-candidate pattern): dedupe to distinct
+    (doc_id, gram_hash) first, drop "stop grams" selected by more than
+    ``max_doc_freq`` documents (a boilerplate gram's bucket would
+    otherwise explode quadratically — the removed mass is countable by
+    the caller from the returned plan), then a hash-keyed self-join on
+    8-byte keys with map-side distinct. Never all-pairs."""
+    prints = fingerprints.select("doc_id", "gram_hash").distinct()
+    hot = (
+        prints.groupBy("gram_hash")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("gram_hash")
+    )
+    cool = prints.join(F.broadcast(hot), "gram_hash", "left_anti")
+    a = cool.alias("a")
+    b = cool.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram_hash") == F.col("b.gram_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.countDistinct("a.gram_hash").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
