@@ -51,6 +51,7 @@ from audio_feature_extraction_spark.operators import (
     mixer,
     mixing,
     preprocess,
+    retrieval,
     sessionize,
     similarity,
     sketch,
@@ -968,6 +969,30 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_retrieval(spark: SparkSession, sf_dir: str, variant: str) -> DataFrame:
+    """Keyword retrieval (operators/retrieval): BM25 / TF-IDF top-k over
+    the documents corpus with a deterministic corpus-derived query
+    workload. Scores use the reproducible polynomial log
+    (functions/reproducible), so they hash-match DuckDB bit-for-bit.
+    Joins the ann_topk union in the shared (query_id, rank,
+    neighbor_id, cosine) shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return retrieval.retrieval_topk(docs, k=5, variant=variant).select(
+        "query_id",
+        "rank",
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("score").alias("cosine"),
+    )
+
+
+def q_ann_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_ann_retrieval(spark, sf_dir, "bm25")
+
+
+def q_ann_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_ann_retrieval(spark, sf_dir, "tfidf")
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two semantic-dedup candidate policies over one (id_a, id_b,
     cosine) schema: LSH bucket-restricted pairs, and SemDeDup
@@ -1283,6 +1308,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lsh_rerank", q_ann_lsh_rerank(spark, sf_dir)),
             ("ivf_pivots", q_ann_ivf_pivots(spark, sf_dir)),
             ("pq", q_ann_pq(spark, sf_dir)),
+            ("bm25", q_ann_bm25(spark, sf_dir)),
+            ("tfidf", q_ann_tfidf(spark, sf_dir)),
         ]
     )
 
@@ -1893,6 +1920,20 @@ def oracle_sql() -> dict[str, str]:
             _ANN_QUERY_FILTER, k=5
         ),
         "ann_pq": similarity.pq_topk_oracle_sql(_ANN_QUERY_FILTER, k=5),
+        # keyword retrieval joins the similarity-search union: same
+        # (query_id, rank, neighbor_id, cosine) shape, doc ids as
+        # neighbors and the (reproducible-log) relevance score in the
+        # score slot.
+        "ann_bm25": (
+            f"SELECT query_id, CAST(rank AS INTEGER) AS rank, "
+            f"doc_id AS neighbor_id, score AS cosine "
+            f"FROM ({retrieval.retrieval_oracle_sql(variant='bm25')}) _b"
+        ),
+        "ann_tfidf": (
+            f"SELECT query_id, CAST(rank AS INTEGER) AS rank, "
+            f"doc_id AS neighbor_id, score AS cosine "
+            f"FROM ({retrieval.retrieval_oracle_sql(variant='tfidf')}) _t"
+        ),
         "embedding_near_dups": similarity.embedding_near_dups_oracle_sql(
             threshold=0.2
         ),
@@ -2161,6 +2202,8 @@ def oracle_sql() -> dict[str, str]:
                 ("lsh_rerank", _proj_ann(leaf["ann_lsh_rerank"])),
                 ("ivf_pivots", _proj_ann(leaf["ann_ivf_pivots"])),
                 ("pq", _proj_ann(leaf["ann_pq"])),
+                ("bm25", _proj_ann(leaf["ann_bm25"])),
+                ("tfidf", _proj_ann(leaf["ann_tfidf"])),
             ]
         ),
         "doc_signatures": (
