@@ -45,6 +45,7 @@ from audio_feature_extraction_spark.core.config import FrameSpec
 from audio_feature_extraction_spark.operators import (
     asof,
     augment,
+    bpe,
     dedup,
     framing,
     inverse,
@@ -1362,7 +1363,10 @@ def q_keys_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocab (unigram) and bigram frequency tables, union-tagged."""
+    """Vocab (unigram) and bigram frequency tables, union-tagged, plus
+    the BPE iteration-0 adjacent-character pair histogram over the
+    documents corpus (operators/bpe — the trainer's first merge is this
+    table's argmax; pairs emitted as code points)."""
     v = q_vocab_stats(spark, sf_dir).select(
         F.lit("vocab").alias("kind"),
         F.col("token").cast("int").alias("t1"),
@@ -1372,7 +1376,10 @@ def q_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = q_bigram_stats(spark, sf_dir).select(
         F.lit("bigram").alias("kind"), "t1", "t2", "freq"
     )
-    return v.unionByName(b)
+    p = bpe.pair_counts(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(F.lit("bpe_pair").alias("kind"), "t1", "t2", "freq")
+    return v.unionByName(b).unionByName(p)
 
 
 _CMS_K = 20
@@ -2129,7 +2136,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'vocab' AS kind, CAST(token AS INTEGER) AS t1, "
             f"CAST(-1 AS INTEGER) AS t2, freq FROM ({leaf['vocab_stats']}) _v "
             f"UNION ALL SELECT 'bigram' AS kind, t1, t2, freq "
-            f"FROM ({leaf['bigram_stats']}) _b"
+            f"FROM ({leaf['bigram_stats']}) _b "
+            f"UNION ALL SELECT 'bpe_pair' AS kind, t1, t2, freq "
+            f"FROM ({bpe.pair_counts_sql(False)}) _p"
         ),
         "source_stats": leaf["source_stats"],
         "dataset_summary": leaf["dataset_summary"],

@@ -221,6 +221,45 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_tokenize(args) -> int:
+    """Train a BPE subword vocabulary on the corpus and encode it:
+    writes <output>/tokens (doc_id, bpe_ids, n_bpe), <output>/merges
+    and <output>/vocab parquet.  Training collapses the corpus to a
+    bounded (word, count) histogram (one shuffle); encoding is a
+    shuffle-free map."""
+    from audio_feature_extraction_spark.operators import bpe
+
+    spark = get_spark(app_name="afes-tokenize")
+    docs = spark.read.parquet(f"{args.input}/documents.parquet")
+    model = bpe.train_bpe(
+        docs,
+        n_merges=args.merges,
+        max_words=args.max_words,
+        min_count=args.min_count,
+    )
+    enc = bpe.bpe_encode(docs, model)
+    enc.write.mode("overwrite").parquet(f"{args.output}/tokens")
+    model.merges_df(spark).write.mode("overwrite").parquet(
+        f"{args.output}/merges"
+    )
+    model.vocab_df(spark).write.mode("overwrite").parquet(
+        f"{args.output}/vocab"
+    )
+    n_tok = spark.read.parquet(f"{args.output}/tokens").agg(
+        F.sum("n_bpe")
+    ).collect()[0][0]
+    print(json.dumps({
+        "command": "tokenize",
+        "merges": len(model.merges),
+        "vocab": len(model.vocab) + 1,
+        "encoded_tokens": int(n_tok or 0),
+        "dropped_words": model.dropped_words,
+        "dropped_occurrences": model.dropped_occurrences,
+    }))
+    spark.stop()
+    return 0
+
+
 def cmd_probe(args) -> int:
     """Container sniff + real metadata over a (media_id, payload)
     parquet: per-payload container/codec/rate/duration rows, bad
@@ -352,6 +391,16 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("profile", help="text quality/langid profile")
     common(sp)
     sp.set_defaults(fn=cmd_profile)
+
+    sp = sub.add_parser(
+        "tokenize", help="train a BPE subword vocab on the corpus and "
+        "encode it (tokens/merges/vocab parquet)"
+    )
+    common(sp)
+    sp.add_argument("--merges", type=int, default=200)
+    sp.add_argument("--max-words", type=int, default=1_000_000)
+    sp.add_argument("--min-count", type=int, default=1)
+    sp.set_defaults(fn=cmd_tokenize)
 
     sp = sub.add_parser(
         "probe", help="media container sniff + metadata (WAV/FLAC/MP3/"
