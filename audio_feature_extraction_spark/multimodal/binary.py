@@ -98,8 +98,9 @@ def _decode_real(payload: bytes, modality: str) -> np.ndarray:
             and payload[0] == 0xFF
             and (payload[1] & 0xE0) == 0xE0
         ):
-            # MPEG audio: Layers I/II decode for real; Layer III raises
-            # NotImplementedError inside (the remaining codec seam)
+            # MPEG audio: Layers I, II and III all decode for real
+            # (mpeg_decode + mpeg_layer3); the remaining codec seams are
+            # Layer III short blocks and intensity stereo
             from audio_feature_extraction_spark.multimodal.mpeg_decode import (
                 decode_mpeg_samples,
             )

@@ -29,8 +29,10 @@ here (the deterministic fixture generator, same tables and windows)
 round-trip through the decoder at quantizer-limited SNR (tested);
 third-party MP3 Layer I/II streams parse structurally but would need
 the ISO window/requant/allocation tables dropped into this module's
-seams for faithful audio. Layer III (Huffman + IMDCT) remains behind
-the documented NotImplementedError seam in multimodal/binary.py.
+seams for faithful audio. Layer III decodes for real via
+multimodal/mpeg_layer3.py (side info, Huffman, requantize, alias
+reduction, IMDCT, shared polyphase) with the same engine-table policy;
+its remaining seams are short/start/stop blocks and intensity stereo.
 """
 
 from __future__ import annotations
@@ -420,8 +422,9 @@ def decode_mpeg_samples(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode every Layer I/II frame of an MPEG audio payload.
 
     Returns (samples, sample_rate): mono -> (n,) float64; stereo ->
-    (n, 2). Layer III raises NotImplementedError (the documented seam);
-    joint/intensity stereo raises Mp3Error (not implemented)."""
+    (n, 2). Layer III streams dispatch to the full
+    multimodal/mpeg_layer3 path (long blocks, LR/MS stereo);
+    joint/intensity stereo on Layers I/II raises Mp3Error."""
     b = bytes(payload)
     pos = _id3v2_size(b)
     end = len(b)
@@ -441,10 +444,17 @@ def decode_mpeg_samples(payload: bytes) -> tuple[np.ndarray, int]:
             pos = nxt
             continue
         if hdr.layer == 3:
-            raise NotImplementedError(
-                "MP3 Layer III sample decode (Huffman + IMDCT) is behind "
-                "the documented codec seam; Layers I/II decode here"
+            # full Layer III path (side info, Huffman, requantize,
+            # alias reduction, IMDCT, shared polyphase) — needs
+            # cross-frame state (bit reservoir, overlap-add), so the
+            # whole remaining payload is handed over
+            from audio_feature_extraction_spark.multimodal.mpeg_layer3 import (
+                decode_layer3_samples,
             )
+
+            if per_ch_blocks is not None:
+                raise Mp3Error("mixed layers in one stream")
+            return decode_layer3_samples(b, pos, end)
         if hdr.channel_mode == "joint_stereo":
             raise Mp3Error("intensity/joint stereo not supported")
         if pos + hdr.frame_bytes > end:

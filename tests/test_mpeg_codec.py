@@ -143,14 +143,17 @@ def test_scfsi_shared_scalefactor_path():
     assert parse_mp3(blob).n_frames == N // 1152
 
 
-def test_layer3_and_joint_stereo_are_explicit_seams():
+def test_layer3_dispatch_and_joint_stereo_seam():
+    """Layer III now dispatches to the real mpeg_layer3 path (a Layer II
+    payload relabeled as Layer III is garbage THERE, not an
+    unimplemented seam); joint stereo on Layer II remains a refusal."""
     x = _sine(1152 * 2)
     blob = bytearray(M.encode_mpeg(x, sr=SR, layer=2, nbits=6))
     # rewrite the header's layer bits (17-18) from II (0b10) to III (0b01)
     h = int.from_bytes(blob[:4], "big")
     h = (h & ~(0x3 << 17)) | (0x1 << 17)
     blob[:4] = h.to_bytes(4, "big")
-    with pytest.raises(NotImplementedError, match="Layer III"):
+    with pytest.raises(Mp3Error):
         M.decode_mpeg_samples(bytes(blob))
     # joint stereo: mode bits 6-7 -> 01
     blob = bytearray(M.encode_mpeg(x, sr=SR, layer=2, nbits=6))
@@ -194,16 +197,22 @@ def test_extract_media_features_real_decode_mpeg(spark):
         extract_media_features,
     )
 
+    from audio_feature_extraction_spark.multimodal.mpeg_layer3 import (
+        encode_layer3,
+    )
+
     x = _sine(1152 * 2)
     good = M.encode_mpeg(x, sr=SR, layer=2, nbits=8)
-    bad = bytearray(good)
-    h = int.from_bytes(bad[:4], "big")
-    h = (h & ~(0x3 << 17)) | (0x1 << 17)  # Layer III
+    good_l3 = encode_layer3(x, sr=SR)
+    bad = bytearray(good)  # Layer II payload relabeled as Layer III:
+    h = int.from_bytes(bad[:4], "big")  # garbage to the real L3 path
+    h = (h & ~(0x3 << 17)) | (0x1 << 17)
     bad[:4] = h.to_bytes(4, "big")
     meta = {"width": None, "height": None, "sample_rate": SR,
             "n_frames": 2, "codec": "mp2"}
     media = spark.createDataFrame(
         [("m_good", "audio", bytes(good), meta),
+         ("m_good_l3", "audio", bytes(good_l3), meta),
          ("m_bad", "audio", bytes(bad), meta)],
         schema=MEDIA_SCHEMA,
     )
@@ -216,5 +225,11 @@ def test_extract_media_features_real_decode_mpeg(spark):
     assert out["m_good"].error is None
     assert len(out["m_good"].features) == 8
     assert max(out["m_good"].features) > 0.0
+    # Layer III decodes FOR REAL through the same executor kernel now
+    assert out["m_good_l3"].error is None
+    assert len(out["m_good_l3"].features) == 8
+    assert max(out["m_good_l3"].features) > 0.0
+    # the relabeled stream is garbage to the Layer III parser: a
+    # per-row error under skip, never a job failure
     assert out["m_bad"].features is None
-    assert "Layer III" in out["m_bad"].error
+    assert "Mp3Error" in out["m_bad"].error
