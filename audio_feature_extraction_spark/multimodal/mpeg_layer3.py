@@ -32,12 +32,17 @@ where ISO's tables would drop in for third-party streams):
 * slen pairs are analytic (slen1 = sc >> 2, slen2 = sc & 3) and the
   preflag pretab is the analytic ramp min(3, band - 10).
 
-Long blocks only (block_type 0): window switching parses structurally
-and raises a clear error on decode — short/start/stop blocks and
-intensity stereo are the documented remaining seam.  Streams from the
-paired encoder below round-trip at quantizer-limited SNR (tested);
-third-party MP3s parse (multimodal/mpeg.py) but need the ISO tables in
-these seams to produce faithful audio.
+Long blocks (block_type 0) AND short blocks (block_type 2) both
+decode and encode: short granules run three 12-point MDCTs per subband
+with the ISO reorder (transmission by scalefactor band, then window),
+per-window scalefactors and subblock gains, and no alias reduction.
+The remaining seams are the start/stop transition windows (block_type
+1/3 — our fixture encoder switches whole streams, so transitions never
+arise; a real ISO stream needs them), mixed blocks, and intensity
+stereo.  Streams from the paired encoder round-trip at
+quantizer-limited SNR (tested); third-party MP3s parse
+(multimodal/mpeg.py) but need the ISO tables in these seams to produce
+faithful audio.
 """
 
 from __future__ import annotations
@@ -98,6 +103,65 @@ assert LONG_EDGES[-1] == LINES and len(LONG_WIDTHS) == 22
 SLEN1_BANDS = 11   # bands 0-10 coded with slen1 (ISO split)
 SLEN2_BANDS = 10   # bands 11-20 with slen2; band 21 has no scalefactor
 N_SFB = 21         # transmitted scalefactors per granule-channel
+
+
+# -- short blocks: 3 windows x 192 lines, 12 bands per window ---------------
+
+
+def _short_band_widths() -> list[int]:
+    """Analytic geometric-growth widths for one short window: 4 leading
+    4-line bands, then 36%% growth rounded to even, tail absorbs."""
+    widths = [4] * 4
+    w = 4.0
+    while len(widths) < 11:
+        w *= 1.36
+        widths.append(int(round(w / 2) * 2))
+    rest = LINES // 3 - sum(widths)
+    if not widths[-1] < rest <= 2 * widths[-1] + 10:
+        raise AssertionError("short band rule must leave a sane tail")
+    widths.append(rest)
+    return widths
+
+
+SHORT_WIDTHS = _short_band_widths()
+SHORT_EDGES = [0]
+for _w in SHORT_WIDTHS:
+    SHORT_EDGES.append(SHORT_EDGES[-1] + _w)
+assert SHORT_EDGES[-1] == LINES // 3 and len(SHORT_WIDTHS) == 12
+
+N_SFB_SHORT = 12          # per window; slen1 bands 0-5, slen2 6-11
+SLEN1_BANDS_SHORT = 6
+
+
+def _short_perm() -> "np.ndarray":
+    """Transmitted order -> window-major flat index.
+
+    ISO transmits short-block lines by scalefactor band, then window,
+    then line within the band (the "reorder" the decoder undoes);
+    window-major index = window * 192 + line.
+    """
+    perm = np.empty(LINES, dtype=np.int64)
+    t = 0
+    for b in range(N_SFB_SHORT):
+        for w in range(3):
+            for line in range(SHORT_EDGES[b], SHORT_EDGES[b + 1]):
+                perm[t] = w * (LINES // 3) + line
+                t += 1
+    assert t == LINES
+    return perm
+
+
+SHORT_PERM = _short_perm()
+# band/window of each transmitted position (for requantizer gains)
+SHORT_T_BAND = np.repeat(
+    np.arange(N_SFB_SHORT), [3 * w for w in SHORT_WIDTHS]
+)
+SHORT_T_WIN = np.concatenate(
+    [
+        np.repeat(np.arange(3), SHORT_WIDTHS[b])
+        for b in range(N_SFB_SHORT)
+    ]
+)
 
 
 def _pretab(band: int) -> int:
@@ -226,6 +290,7 @@ class GranuleInfo:
     table_select: tuple[int, int, int] = (1, 1, 1)
     region0_count: int = 7
     region1_count: int = 7
+    subblock_gain: tuple[int, int, int] = (0, 0, 0)
     preflag: int = 0
     scalefac_scale: int = 0
     count1table_select: int = 0
@@ -259,10 +324,13 @@ def parse_side_info(br: BitReader, nch: int) -> SideInfo:
             g.window_switching = br.read(1)
             if g.window_switching:
                 g.block_type = br.read(2)
-                br.read(1)  # mixed_block_flag
+                mixed = br.read(1)
+                if mixed:
+                    raise Mp3Error("mixed blocks not supported")
                 g.table_select = (br.read(5), br.read(5), 0)
-                for _ in range(3):
-                    br.read(3)  # subblock_gain
+                g.subblock_gain = tuple(br.read(3) for _ in range(3))
+                # short blocks use fixed engine region boundaries
+                # (_region_boundaries special-cases block_type 2)
                 g.region0_count = 7
                 g.region1_count = 20 - 7 - 1
             else:
@@ -301,12 +369,22 @@ def write_side_info(bw: BitWriter, si: SideInfo, nch: int) -> None:
             bw.write(g.scalefac_compress, 4)
             bw.write(g.window_switching, 1)
             if g.window_switching:
-                raise Mp3Error("encoder emits long blocks only")
-            bw.write(g.table_select[0], 5)
-            bw.write(g.table_select[1], 5)
-            bw.write(g.table_select[2], 5)
-            bw.write(g.region0_count, 4)
-            bw.write(g.region1_count, 3)
+                if g.block_type != 2:
+                    raise Mp3Error(
+                        "start/stop transition windows not supported"
+                    )
+                bw.write(g.block_type, 2)
+                bw.write(0, 1)  # mixed_block_flag
+                bw.write(g.table_select[0], 5)
+                bw.write(g.table_select[1], 5)
+                for sg in g.subblock_gain:
+                    bw.write(sg, 3)
+            else:
+                bw.write(g.table_select[0], 5)
+                bw.write(g.table_select[1], 5)
+                bw.write(g.table_select[2], 5)
+                bw.write(g.region0_count, 4)
+                bw.write(g.region1_count, 3)
             bw.write(g.preflag, 1)
             bw.write(g.scalefac_scale, 1)
             bw.write(g.count1table_select, 1)
@@ -321,6 +399,10 @@ def _region_boundaries(g: GranuleInfo) -> tuple[int, int]:
     """(end of region0, end of region1) in LINES, clamped to
     big_values*2 — ISO semantics over the engine band edges."""
     bv_lines = g.big_values * 2
+    if g.window_switching and g.block_type == 2:
+        # short blocks: fixed engine split (first 3 bands x 3 windows,
+        # i.e. 36 transmitted lines, then the rest; 2 tables only)
+        return min(36, bv_lines), bv_lines
     r0 = LONG_EDGES[min(g.region0_count + 1, len(LONG_EDGES) - 1)]
     r1 = LONG_EDGES[
         min(g.region0_count + 1 + g.region1_count + 1, len(LONG_EDGES) - 1)
@@ -357,6 +439,37 @@ def _write_scalefacs(bw: BitWriter, g: GranuleInfo, sf: list[int]) -> int:
         if slen:
             bw.write(sf[b], slen)
             bits += slen
+    return bits
+
+
+def _read_scalefacs_short(
+    br: BitReader, g: GranuleInfo
+) -> tuple[list[list[int]], int]:
+    """Short-block scalefactors: 12 bands x 3 windows, transmitted
+    band-major then window (scfsi does not apply to short blocks).
+    Returns (sf[window][band], bits_read)."""
+    slen1, slen2 = _slen(g.scalefac_compress)
+    sf = [[0] * N_SFB_SHORT for _ in range(3)]
+    bits = 0
+    for b in range(N_SFB_SHORT):
+        slen = slen1 if b < SLEN1_BANDS_SHORT else slen2
+        for w in range(3):
+            sf[w][b] = br.read(slen) if slen else 0
+            bits += slen
+    return sf, bits
+
+
+def _write_scalefacs_short(
+    bw: BitWriter, g: GranuleInfo, sf: list[list[int]]
+) -> int:
+    slen1, slen2 = _slen(g.scalefac_compress)
+    bits = 0
+    for b in range(N_SFB_SHORT):
+        slen = slen1 if b < SLEN1_BANDS_SHORT else slen2
+        if slen:
+            for w in range(3):
+                bw.write(sf[w][b], slen)
+                bits += slen
     return bits
 
 
@@ -533,6 +646,36 @@ def quantize(
     return (np.sign(xr) * np.round(np.power(ax, 0.75))).astype(np.int64)
 
 
+def _short_gains(g: GranuleInfo, sf: list[list[int]]) -> np.ndarray:
+    """Per-TRANSMITTED-position gain for short blocks:
+    2^((gg - 210 - 8*subblock_gain[w]) / 4) * 2^(-mult * sf[w][b])."""
+    mult = (g.scalefac_scale + 1) * 0.5
+    sbg = np.array(g.subblock_gain, dtype=np.float64)[SHORT_T_WIN]
+    sf_arr = np.array(sf, dtype=np.float64)[SHORT_T_WIN, SHORT_T_BAND]
+    return 2.0 ** ((g.global_gain - 210.0 - 8.0 * sbg) / 4.0 - mult * sf_arr)
+
+
+def requantize_short(
+    g: GranuleInfo, sf: list[list[int]], x: np.ndarray
+) -> np.ndarray:
+    """Transmitted-order codes -> window-major spectral values
+    (w*192 + line) via the reorder permutation."""
+    vals = np.sign(x) * np.power(np.abs(x).astype(np.float64), 4.0 / 3.0)
+    vals *= _short_gains(g, sf)
+    out = np.empty(LINES)
+    out[SHORT_PERM] = vals
+    return out
+
+
+def quantize_short(
+    xr_wm: np.ndarray, g: GranuleInfo, sf: list[list[int]]
+) -> np.ndarray:
+    """Window-major spectral values -> transmitted-order codes."""
+    vals = xr_wm[SHORT_PERM]
+    ax = np.abs(vals) / _short_gains(g, sf)
+    return (np.sign(vals) * np.round(np.power(ax, 0.75))).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Alias reduction, MDCT, frequency inversion
 # ---------------------------------------------------------------------------
@@ -583,6 +726,37 @@ def mdct_block(x36: np.ndarray) -> np.ndarray:
     return (4.0 / _N_MDCT) * (_COS.T @ (x36 * _WIN))
 
 
+_N_SHORT = 12
+_WIN_S = np.sin(np.pi / _N_SHORT * (np.arange(_N_SHORT) + 0.5))
+_COS_S = np.cos(
+    np.pi
+    / (2 * _N_SHORT)
+    * (2 * np.arange(_N_SHORT)[:, None] + 1 + _N_SHORT // 2)
+    * (2 * np.arange(6)[None, :] + 1)
+)
+
+
+def imdct_short(X18: np.ndarray) -> np.ndarray:
+    """18 coefficients of one subband (3 windows x 6) -> 36 time
+    samples: three 12-point IMDCTs overlap-added into the standard
+    short-window layout (6 leading / trailing zeros)."""
+    out = np.zeros(_N_MDCT)
+    for w in range(3):
+        y = (_COS_S @ X18[w * 6 : (w + 1) * 6]) * _WIN_S
+        out[6 + 6 * w : 18 + 6 * w] += y
+    return out
+
+
+def mdct_short(x36: np.ndarray) -> np.ndarray:
+    """Adjoint of :func:`imdct_short` scaled for TDAC: 36 time samples
+    -> 18 coefficients (3 windows x 6)."""
+    out = np.empty(18)
+    for w in range(3):
+        seg = x36[6 + 6 * w : 18 + 6 * w]
+        out[w * 6 : (w + 1) * 6] = (4.0 / _N_SHORT) * (_COS_S.T @ (seg * _WIN_S))
+    return out
+
+
 def _freq_inversion(blocks: np.ndarray) -> np.ndarray:
     """(18, 32) time x subband: odd subbands negate odd samples (both
     directions — the operation is an involution)."""
@@ -603,15 +777,25 @@ class _GranuleSynth:
         self.carry = np.zeros((SUBBANDS, BLK))
         self.syn = Synthesizer()
 
-    def granule_to_pcm(self, xr: np.ndarray) -> np.ndarray:
-        """576 spectral values -> 576 PCM samples."""
-        xr = alias_reduce(xr)
+    def granule_to_pcm(self, xr: np.ndarray, short: bool = False) -> np.ndarray:
+        """576 spectral values -> 576 PCM samples.  ``short``: xr is in
+        window-major layout (w*192 + line), no alias reduction, three
+        12-point IMDCTs per subband instead of one 36-point."""
         sb_time = np.empty((BLK, SUBBANDS))  # time x subband
-        spec = xr.reshape(SUBBANDS, BLK)
-        for sb in range(SUBBANDS):
-            y = imdct_block(spec[sb])
-            sb_time[:, sb] = y[:BLK] + self.carry[sb]
-            self.carry[sb] = y[BLK:]
+        if short:
+            wm = xr.reshape(3, LINES // 3)
+            for sb in range(SUBBANDS):
+                x18 = wm[:, sb * 6 : (sb + 1) * 6].reshape(-1)
+                y = imdct_short(x18)
+                sb_time[:, sb] = y[:BLK] + self.carry[sb]
+                self.carry[sb] = y[BLK:]
+        else:
+            xr = alias_reduce(xr)
+            spec = xr.reshape(SUBBANDS, BLK)
+            for sb in range(SUBBANDS):
+                y = imdct_block(spec[sb])
+                sb_time[:, sb] = y[:BLK] + self.carry[sb]
+                self.carry[sb] = y[BLK:]
         sb_time = _freq_inversion(sb_time)
         out = np.empty(LINES)
         for t in range(BLK):
@@ -684,28 +868,40 @@ def decode_layer3_samples(
         prev_sf: list[list[int] | None] = [None] * nch
         for gr in range(GRANULES):
             xr_ch: list[np.ndarray] = []
+            shorts: list[bool] = []
             for ch in range(nch):
                 g = si.granules[gr][ch]
-                if g.window_switching and g.block_type != 0:
+                short = bool(g.window_switching and g.block_type == 2)
+                if g.window_switching and g.block_type != 2:
                     raise Mp3Error(
-                        "short/start/stop blocks are behind the "
-                        "documented Layer III seam (long blocks decode)"
+                        "start/stop transition windows are behind the "
+                        "documented Layer III seam (long+short decode)"
                     )
-                sf, p2bits = _read_scalefacs(
-                    br,
-                    g,
-                    si.scfsi[ch],
-                    prev_sf[ch] if gr == 1 else None,
-                )
-                if gr == 0:
-                    prev_sf[ch] = sf
-                x = _read_spectrum(br, g, p2bits)
-                xr_ch.append(requantize(g, sf, x))
+                if short:
+                    sf_s, p2bits = _read_scalefacs_short(br, g)
+                    x = _read_spectrum(br, g, p2bits)
+                    xr_ch.append(requantize_short(g, sf_s, x))
+                else:
+                    sf, p2bits = _read_scalefacs(
+                        br,
+                        g,
+                        si.scfsi[ch],
+                        prev_sf[ch] if gr == 1 else None,
+                    )
+                    if gr == 0:
+                        prev_sf[ch] = sf
+                    x = _read_spectrum(br, g, p2bits)
+                    xr_ch.append(requantize(g, sf, x))
+                shorts.append(short)
             if ms_flags[fi] and nch == 2:
+                if shorts[0] != shorts[1]:
+                    raise Mp3Error("MS stereo with mixed block types")
                 m, s = xr_ch
                 xr_ch = [(m + s) / SQRT2, (m - s) / SQRT2]
             for ch in range(nch):
-                pcm = synths[ch].granule_to_pcm(xr_ch[ch])
+                pcm = synths[ch].granule_to_pcm(
+                    xr_ch[ch], short=shorts[ch]
+                )
                 if nch == 1:
                     out_chunks.append(pcm)
                 else:
@@ -727,14 +923,21 @@ MAX_GRANULE_BITS = 4095  # part2_3_length is a 12-bit side-info field
 
 
 def _quantize_once(
-    xr: np.ndarray, gg: int
-) -> tuple[GranuleInfo, list[int], np.ndarray]:
+    xr: np.ndarray, gg: int, short: bool = False
+) -> tuple[GranuleInfo, list | list[list[int]], np.ndarray]:
     """One quantization pass at a fixed global_gain: codes + region
-    split + per-region table selection."""
+    split + per-region table selection.  ``short``: xr is window-major
+    and the codes come out in transmitted (reordered) order."""
     g = GranuleInfo()
     g.global_gain = gg
-    sf = [0] * N_SFB
-    x = quantize(xr, g, sf)
+    if short:
+        g.window_switching = 1
+        g.block_type = 2
+        sf = [[0] * N_SFB_SHORT for _ in range(3)]
+        x = quantize_short(xr, g, sf)
+    else:
+        sf = [0] * N_SFB
+        x = quantize(xr, g, sf)
     nz = np.nonzero(x)[0]
     if nz.size == 0:
         g.big_values = 0
@@ -764,8 +967,11 @@ def _quantize_once(
 
 
 def _encode_granule(
-    xr: np.ndarray, max_code: int, max_bits: int = MAX_GRANULE_BITS
-) -> tuple[GranuleInfo, list[int], np.ndarray]:
+    xr: np.ndarray,
+    max_code: int,
+    max_bits: int = MAX_GRANULE_BITS,
+    short: bool = False,
+) -> tuple[GranuleInfo, list | list[list[int]], np.ndarray]:
     """Quantize one granule-channel: the ISO inner ("rate") loop.
     Start from the global_gain that bounds the largest code by
     ``max_code``, then coarsen (gg += 4) until the Huffman-coded
@@ -773,19 +979,18 @@ def _encode_granule(
     the structural reason every MP3 encoder has this loop."""
     peak = float(np.max(np.abs(xr))) if xr.size else 0.0
     if peak <= 0:
-        return _quantize_once(xr, 210)
+        return _quantize_once(xr, 210, short)
     # need 2^((gg-210)*3/16) >= peak^(3/4) / max_code
     gg = 210 + math.ceil(
         (16.0 / 3.0) * math.log2(max(peak ** 0.75 / max_code, 2.0 ** -60))
     )
     gg = min(255, max(0, gg))
     while True:
-        g, sf, x = _quantize_once(xr, gg)
-        slen1, slen2 = _slen(g.scalefac_compress)
-        sf_bits = slen1 * SLEN1_BANDS + slen2 * SLEN2_BANDS
+        g, sf, x = _quantize_once(xr, gg, short)
+        # scalefac_compress = 0 -> zero scalefactor bits in both modes
         scratch = BitWriter()
         hbits = _write_spectrum(scratch, g, x)
-        if sf_bits + hbits <= max_bits:
+        if hbits <= max_bits:
             return g, sf, x
         if gg >= 255:
             raise Mp3Error("granule does not fit even at coarsest gain")
@@ -797,6 +1002,7 @@ def encode_layer3(
     sr: int = 32000,
     max_code: int = 255,
     ms_stereo: bool = False,
+    short_blocks: bool = False,
 ) -> bytes:
     """Deterministic Layer III fixture encoder: PCM -> MPEG-1 Layer III
     stream decodable by :func:`decode_layer3_samples` (same engine
@@ -804,7 +1010,10 @@ def encode_layer3(
     zero, no bit reservoir (main_data_begin = 0, each frame padded).
 
     ``max_code`` bounds the quantized magnitude (quantization SNR knob);
-    ``ms_stereo`` encodes (L±R)/sqrt2 with the joint-stereo MS header.
+    ``ms_stereo`` encodes (L±R)/sqrt2 with the joint-stereo MS header;
+    ``short_blocks`` uses block_type-2 short windows (3 x 12-point
+    MDCTs, reordered transmission) for EVERY granule — the fixture for
+    the short decode path (a real encoder would switch on transients).
     """
     pcm = np.asarray(pcm, dtype=np.float64)
     if pcm.ndim == 1:
@@ -851,22 +1060,39 @@ def encode_layer3(
                     ]
                 )  # (18, 32)
                 blocks = _freq_inversion(blocks)
-                spec = np.empty(LINES)
-                for sb in range(SUBBANDS):
-                    x36 = np.concatenate([carry[ch][sb], blocks[:, sb]])
-                    carry[ch][sb] = blocks[:, sb]
-                    spec[sb * BLK : (sb + 1) * BLK] = mdct_block(x36)
-                xr_ch.append(alias_reduce(spec, inverse=True))
+                if short_blocks:
+                    wm = np.empty(LINES)  # window-major spectral layout
+                    for sb in range(SUBBANDS):
+                        x36 = np.concatenate([carry[ch][sb], blocks[:, sb]])
+                        carry[ch][sb] = blocks[:, sb]
+                        c18 = mdct_short(x36)  # (3 windows x 6 coeffs)
+                        for w in range(3):
+                            wm[
+                                w * (LINES // 3) + sb * 6 :
+                                w * (LINES // 3) + (sb + 1) * 6
+                            ] = c18[w * 6 : (w + 1) * 6]
+                    xr_ch.append(wm)
+                else:
+                    spec = np.empty(LINES)
+                    for sb in range(SUBBANDS):
+                        x36 = np.concatenate([carry[ch][sb], blocks[:, sb]])
+                        carry[ch][sb] = blocks[:, sb]
+                        spec[sb * BLK : (sb + 1) * BLK] = mdct_block(x36)
+                    xr_ch.append(alias_reduce(spec, inverse=True))
             if ms_stereo:
                 l, r = xr_ch
                 xr_ch = [(l + r) / SQRT2, (l - r) / SQRT2]
             chs = []
             for ch in range(nch):
                 g, sf, x = _encode_granule(
-                    xr_ch[ch], max_code, max_bits=granule_budget
+                    xr_ch[ch], max_code, max_bits=granule_budget,
+                    short=short_blocks,
                 )
                 start = len(bw.bits)
-                p2 = _write_scalefacs(bw, g, sf)
+                if short_blocks:
+                    p2 = _write_scalefacs_short(bw, g, sf)
+                else:
+                    p2 = _write_scalefacs(bw, g, sf)
                 hbits = _write_spectrum(bw, g, x)
                 g.part2_3_length = p2 + hbits
                 assert len(bw.bits) - start == g.part2_3_length

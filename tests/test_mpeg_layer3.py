@@ -270,21 +270,79 @@ def test_stream_survives_leading_garbage():
     assert sr == 32000 and len(y) == 1152 * 2
 
 
-def test_short_block_seam_is_explicit():
-    """A stream whose side info selects window switching decodes up to
-    the granule and raises the documented seam error."""
+def test_start_stop_window_seam_is_explicit():
+    """Short blocks decode now; the remaining window seam is the
+    start/stop TRANSITION types (block_type 1/3) — selecting one
+    raises the documented error before any spectrum read."""
     x = _sine(1152)
     blob = bytearray(L3.encode_layer3(x, sr=32000))
     # side info starts at byte 4 (mono, unprotected); flip the
-    # window_switching flag of granule 0 ch 0 and set block_type 2:
+    # window_switching flag of granule 0 ch 0 and set block_type 1:
     # fields before it: 9 (mdb) + 5 (priv) + 4 (scfsi) + 12 + 9 + 8 + 4
     # = 51 bits -> ws flag is bit 51, block_type bits 52-53
     bit = 4 * 8 + 51
-    blob[bit // 8] |= 0x80 >> (bit % 8)         # window_switching = 1
-    bit += 1
-    blob[bit // 8] |= 0x80 >> (bit % 8)          # block_type = 10 (short)
-    with pytest.raises(Mp3Error, match="short/start/stop"):
+    blob[bit // 8] |= 0x80 >> (bit % 8)          # window_switching = 1
+    bit += 2
+    blob[bit // 8] |= 0x80 >> (bit % 8)          # block_type = 01 (start)
+    with pytest.raises(Mp3Error, match="start/stop"):
         L3.decode_layer3_samples(bytes(blob), 0, len(blob))
+
+
+def test_short_blocks_roundtrip():
+    """block_type-2 short windows end to end: 3 x 12-point MDCTs with
+    reordered transmission, per-window scalefactor machinery, no alias
+    reduction — quantizer-limited SNR like the long path."""
+    x = _sine(1152 * 4) + _sine(1152 * 4, f=2000.0, amp=0.2)
+    blob = L3.encode_layer3(x, sr=32000, max_code=255, short_blocks=True)
+    y, sr = L3.decode_layer3_samples(blob, 0, len(blob))
+    assert sr == 32000
+    assert _snr(x, y) > 35.0
+    # the stream really is short-block: check the side info
+    si = L3.parse_side_info(BitReader(bytes(blob), 4 * 8), 1)
+    g = si.granules[0][0]
+    assert g.window_switching == 1 and g.block_type == 2
+
+
+def test_short_block_stereo_ms():
+    n = 1152 * 3
+    pcm = np.stack([_sine(n), _sine(n, f=700.0, amp=0.4)], axis=1)
+    blob = L3.encode_layer3(
+        pcm, sr=32000, max_code=255, ms_stereo=True, short_blocks=True
+    )
+    y, _ = L3.decode_layer3_samples(blob, 0, len(blob))
+    m = min(n, len(y) - DELAY) - 1152
+    for ch in range(2):
+        a, b = pcm[:m, ch], y[DELAY : DELAY + m, ch]
+        corr = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+        assert corr > 0.97
+
+
+def test_short_transform_identities():
+    """The short chain's own TDAC + the reorder permutation."""
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((8, L3.BLK))
+    carry = np.zeros(L3.BLK)
+    specs = []
+    for g in range(8):
+        specs.append(L3.mdct_short(np.concatenate([carry, x[g]])))
+        carry = x[g]
+    rec_carry = np.zeros(L3.BLK)
+    outs = []
+    for g in range(8):
+        y = L3.imdct_short(specs[g])
+        outs.append(y[: L3.BLK] + rec_carry)
+        rec_carry = y[L3.BLK :]
+    assert np.abs(np.array(outs)[1:] - x[:-1]).max() < 1e-12
+    assert sorted(L3.SHORT_PERM.tolist()) == list(range(L3.LINES))
+    # subblock gain scales each window by 2^(-2 per step)
+    g = L3.GranuleInfo(window_switching=1, block_type=2,
+                       global_gain=210, subblock_gain=(0, 1, 0))
+    sf = [[0] * 12 for _ in range(3)]
+    codes = np.zeros(L3.LINES, dtype=np.int64)
+    codes[:] = 1
+    vals = L3.requantize_short(g, sf, codes)
+    wm = vals.reshape(3, 192)
+    assert np.allclose(wm[1], wm[0] / 4.0)
 
 
 def test_reservoir_underrun_is_an_error():
