@@ -168,6 +168,7 @@ def cmd_prepare_corpus(args) -> int:
         semdedup_threshold=args.semdedup_threshold,
         nb_min_score=args.nb_min_score,
         dsir_k=args.dsir_k,
+        bpe_merges=args.bpe_merges,
     )
     mixed, blocks, report = corpus.prepare_corpus(spark, args.input, cfg)
     mixed.write.mode("overwrite").parquet(f"{args.output}/corpus")
@@ -478,6 +479,9 @@ def main(argv: list[str] | None = None) -> int:
                     "only the top-k docs under Gumbel-top-k importance "
                     "resampling (log p_target/q_raw hashed-bigram "
                     "weights)")
+    sp.add_argument("--bpe-merges", type=int, default=None,
+                    help="train a BPE vocab of N merges on the "
+                    "surviving docs and pack subword ids (stage 4c)")
     sp.set_defaults(fn=cmd_prepare_corpus)
 
     args = p.parse_args(argv)

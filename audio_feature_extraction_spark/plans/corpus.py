@@ -45,7 +45,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from audio_feature_extraction_spark.operators import dedup, mixing, split, textstats
+from audio_feature_extraction_spark.operators import (
+    bpe,
+    dedup,
+    mixing,
+    split,
+    textstats,
+)
 from audio_feature_extraction_spark.sources.tokens import load_token_sequences
 
 
@@ -90,6 +96,15 @@ class CorpusConfig:
     # real pretraining run applies AFTER cleaning, before mixing.
     # None = off.
     dsir_k: int | None = None
+    # subword retokenization (stage 4c): train a BPE vocabulary of
+    # this many merges ON THE SURVIVING docs (the cleaned corpus is the
+    # distribution the tokenizer should fit) and replace the token axis
+    # with bpe ids before mixing/packing — raw text in, packed subword
+    # blocks out. Training is one word-histogram shuffle + a bounded
+    # driver loop (operators/bpe); encoding is a shuffle-free map.
+    # None = keep the original tokens.
+    bpe_merges: int | None = None
+    bpe_max_words: int = 1_000_000
     # per-stage row counts in the report. Each count materializes the
     # chain-so-far, so accounting caches every stage (persist + count,
     # released once the next stage lands). accounting=False skips the
@@ -270,6 +285,32 @@ def prepare_corpus(
             ts.join(F.broadcast(keep), "doc_id", "left_semi"),
             "after_dsir",
         )
+
+    # 4c. subword retokenization (optional): BPE trains on the
+    # surviving docs' text, then the token axis becomes bpe ids — the
+    # last content transform before mixing/packing
+    if cfg.bpe_merges is not None:
+        surviving = docs.join(
+            ts.selectExpr(
+                "cast(substring(doc_id, 5) as long) as doc_id"
+            ).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        model = bpe.train_bpe(
+            surviving, n_merges=cfg.bpe_merges, max_words=cfg.bpe_max_words
+        )
+        enc = bpe.bpe_encode(surviving, model).selectExpr(
+            "concat('doc_', doc_id) as doc_id",
+            "bpe_ids as tokens",
+            "n_bpe as n_tok",
+        )
+        ts = stage(
+            ts.drop("tokens", "n_tok").join(enc, "doc_id"),
+            "after_bpe",
+        )
+        report["bpe_vocab_size"] = len(model.vocab) + 1
+        report["bpe_dropped_words"] = model.dropped_words
 
     # 5. corpus mixing: per-source rates, deterministic epochs
     mixed = stage(

@@ -508,3 +508,56 @@ def test_prepare_corpus_semdedup_and_nb_stages(spark):
         docs=docs, tokseq=tokseq,
     )
     assert rep4["after_dsir"] == rep4["after_decontamination"]
+
+
+def test_prepare_corpus_bpe_stage(spark):
+    """Stage 4c: BPE trains on the SURVIVING docs only and replaces the
+    token axis with subword ids; packing then conserves the new token
+    count, and the dropped offenders never influence the vocabulary."""
+    from pyspark.sql import functions as F
+
+    from audio_feature_extraction_spark.operators import bpe
+    from audio_feature_extraction_spark.plans import corpus
+    from audio_feature_extraction_spark.sources.tokens import tokenize_expr
+
+    # per-doc DISJOINT word sets (the word-hash tokenizer keys on first
+    # char / length / last char — vary first char per doc) so the only
+    # pipeline casualty is the planted exact dup
+    rows = [
+        (i, " ".join(
+            chr(97 + i) + "y" * (j % 7) + chr(97 + (i * 3 + j) % 26)
+            for j in range(20)
+        ), "en", "web", 0)
+        for i in range(12)
+    ]
+    rows.append((100, rows[0][1], "en", "web", 0))  # exact dup, dropped
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    toks = tokenize_expr()
+    tokseq = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        "source",
+    )
+    mixed, blocks, report = corpus.prepare_corpus(
+        spark, "", cfg=corpus.CorpusConfig(block_len=64, bpe_merges=30),
+        docs=docs, tokseq=tokseq,
+    )
+    assert report["bpe_vocab_size"] > 1
+    assert report["after_bpe"] == report["after_decontamination"]
+    # tokens are now bpe ids and n_tok matches a model trained on the
+    # SURVIVORS (doc 100 excluded)
+    surviving = docs.where("doc_id != 100")
+    model = bpe.train_bpe(surviving, n_merges=30)
+    want = {
+        f"doc_{r.doc_id}": [i for w in r.text.split(" ") if w
+                            for i in model.encode_word_ids(w)]
+        for r in surviving.collect()
+    }
+    got = {r.doc_id: list(r.tokens) for r in mixed.collect()}
+    assert got == want
+    # packing conserves the subword token count
+    total = mixed.agg(F.sum("n_tok")).collect()[0][0]
+    assert blocks.agg(F.sum("slice_len")).collect()[0][0] == total
