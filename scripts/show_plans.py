@@ -14,7 +14,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from audio_feature_extraction_spark.core.config import FrameSpec  # noqa: E402
 from audio_feature_extraction_spark.core.session import get_spark  # noqa: E402
-from audio_feature_extraction_spark.operators import (  # noqa: E402
+from audio_feature_extraction_spark.operators import (
+    retrieval,  # noqa: E402
     asof, dedup, framing, inverse, mixing, sessionize, similarity,
     sketch, textclean, textstats,
 )
@@ -57,6 +58,12 @@ def main() -> None:
             mixing.dsir_sample(ts, 50),
         "lm_perplexity (two broadcast count tables)":
             textstats.lm_perplexity(ts),
+        "bm25 (broadcast-pruned postings + pinned-fold scoring)":
+            retrieval.retrieval_topk(
+                spark.read.parquet(f"{sf}/documents.parquet")
+            ),
+        "winnow_fingerprints (zero-shuffle HOF selection)":
+            textstats.winnow_fingerprints(ts),
     }
     for name, df in plans.items():
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
