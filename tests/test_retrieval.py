@@ -190,3 +190,101 @@ def test_postings_prune_is_broadcast(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = retrieval.retrieval_topk(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# python witness — the polynomial log has a documented closed form; a
+# from-scratch python twin must match the SQL bit-for-bit, and a naive
+# python BM25 built on that twin must reproduce the engine's scores
+# ---------------------------------------------------------------------------
+
+
+def _py_ln_ratio(a: int, b: int) -> float:
+    from audio_feature_extraction_spark.functions.reproducible import (
+        _ATANH_COEFFS,
+        _LN2,
+    )
+
+    e = (a // b).bit_length() - 1
+    m = (a / b) / float(1 << e)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    horner = _ATANH_COEFFS[-1]
+    for c in reversed(_ATANH_COEFFS[:-1]):
+        horner = c + z2 * horner
+    return float(e) * _LN2 + (2.0 * z) * horner
+
+
+def test_python_twin_matches_sql_log(spark):
+    rng = random.Random(123)
+    pairs = [(rng.randrange(1, 10**10), 1) for _ in range(50)]
+    pairs += [
+        (a, rng.randrange(1, a + 1))
+        for a in (rng.randrange(1, 10**8) for _ in range(100))
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.selectExpr(
+        "a", "b", f"{ln_ratio_sql('a', 'b', True)} as v"
+    ).collect()
+    for r in rows:
+        assert r.v == _py_ln_ratio(r.a, r.b), (r.a, r.b)
+
+
+def test_bm25_python_witness(spark):
+    """A from-scratch python BM25 (postings dict, same constants, the
+    python log twin, sorted-term summation) reproduces the engine's
+    scores exactly on a random corpus."""
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 40)))
+        for _ in range(60)
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.score)
+        for r in retrieval.retrieval_topk(docs, k=5, variant="bm25").collect()
+    }
+    # witness: postings + query workload + scoring in plain python
+    post = {}
+    dl = {}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        dl[i] = len(words)
+        for w in words:
+            post[(w, i)] = post.get((w, i), 0) + 1
+    freq = {}
+    for (w, _i), tf in post.items():
+        freq[w] = freq.get(w, 0) + tf
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    qterms = {w: rank % 5 for rank, (w, _) in enumerate(top)}
+    n_docs = len(texts)
+    avgdl = float(sum(dl.values())) / float(n_docs)
+    dfreq = {}
+    for (w, _i) in post:
+        if w in qterms:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+    scores = {}
+    for (w, i), tf in post.items():
+        q = qterms.get(w)
+        if q is None:
+            continue
+        idf = _py_ln_ratio(2 * n_docs + 2, 2 * dfreq[w] + 1)
+        denom = tf + k1 * ((1.0 - b) + (b * (dl[i] / avgdl)))
+        scores.setdefault((q, i), []).append((w, idf * ((tf * (k1 + 1.0)) / denom)))
+    per_doc = {}
+    for key, contribs in scores.items():
+        acc = 0.0
+        for _w, c in sorted(contribs):
+            acc = acc + c
+        per_doc[key] = acc
+    want = {}
+    for q in range(5):
+        ranked = sorted(
+            ((s, i) for (qq, i), s in per_doc.items() if qq == q),
+            key=lambda si: (-si[0], si[1]),
+        )[:5]
+        for rank, (s, i) in enumerate(ranked, start=1):
+            want[(q, i)] = (rank, s)
+    assert got == want
