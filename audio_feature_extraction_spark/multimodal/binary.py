@@ -74,12 +74,14 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def _decode_real(payload: bytes, modality: str) -> np.ndarray:
-    """The real-decoder seam. Audio (RIFF/PCM WAV, FLAC, MPEG Layer
-    I/II) and images (BMP, PNG) decode for real with pure numpy/stdlib
-    (multimodal/wav.py, flac.py, mpeg_decode.py, image.py). MP3 Layer
-    III (Huffman + IMDCT) and OGG sample decode need an ffmpeg-class
-    codec and keep the honest error here (container metadata IS parsed
-    — multimodal/probe.py); video likewise.
+    """The real-decoder seam. ALL FOUR reference audio formats decode
+    for real with pure numpy/stdlib: RIFF/PCM WAV, FLAC, MPEG Layers
+    I/II/III, and Ogg Vorbis (multimodal/wav.py, flac.py,
+    mpeg_decode.py + mpeg_layer3.py, vorbis.py), as do BMP/PNG images
+    (image.py). Remaining seams: Vorbis floor0 / residues 0-1 / window
+    switching, MP3 transition windows + intensity stereo, Opus, and
+    video frame decode (ffmpeg-class) — container metadata for all of
+    those IS parsed (multimodal/probe.py).
     """
     if modality == "audio":
         if payload[:4] == b"fLaC":
@@ -88,11 +90,12 @@ def _decode_real(payload: bytes, modality: str) -> np.ndarray:
             signal, _sr = decode_flac(payload)
             return signal
         if payload[:4] == b"OggS":
-            raise NotImplementedError(
-                "OGG sample decode needs an ffmpeg-class codec; "
-                "container metadata IS parsed — use "
-                "multimodal.probe.probe_media_metadata"
+            from audio_feature_extraction_spark.multimodal.vorbis import (
+                decode_vorbis_samples,
             )
+
+            signal, _sr = decode_vorbis_samples(payload)
+            return signal
         if payload[:3] == b"ID3" or (
             len(payload) >= 2
             and payload[0] == 0xFF

@@ -165,10 +165,13 @@ def test_layer3_dispatch_and_joint_stereo_seam():
 
 
 def test_decode_real_seam_decodes_mpeg_audio():
-    """_decode_real (the production mapInPandas decode seam) now
-    decodes MPEG Layer I/II payloads for real — including with a
-    leading ID3v2 tag — and still refuses OGG."""
+    """_decode_real (the production mapInPandas decode seam) decodes
+    MPEG Layer I/II payloads for real — including with a leading ID3v2
+    tag — and routes OggS payloads to the Vorbis codec (garbage Ogg is
+    a parse error, not an unimplemented seam)."""
     from audio_feature_extraction_spark.multimodal.binary import _decode_real
+    from audio_feature_extraction_spark.multimodal.ogg import OggError
+    from audio_feature_extraction_spark.multimodal.vorbis import encode_vorbis
 
     x = _sine(1152 * 2)
     blob = M.encode_mpeg(x, sr=SR, layer=2, nbits=8)
@@ -183,7 +186,12 @@ def test_decode_real_seam_decodes_mpeg_audio():
     ) + bytes(size)
     out2 = _decode_real(id3 + blob, "audio")
     assert np.allclose(out, out2)
-    with pytest.raises(NotImplementedError, match="OGG"):
+    # a real engine-profile Ogg Vorbis payload decodes for real
+    ogg = encode_vorbis(_sine(128 * 20), sr=SR)
+    vout = _decode_real(ogg, "audio")
+    assert isinstance(vout, np.ndarray) and len(vout) > 128 * 10
+    # truncated/garbage Ogg raises a parse error, not NotImplementedError
+    with pytest.raises(OggError):
         _decode_real(b"OggS" + bytes(64), "audio")
 
 
