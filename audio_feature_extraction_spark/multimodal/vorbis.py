@@ -836,10 +836,8 @@ def decode_vorbis_samples(payload: bytes) -> tuple[np.ndarray, int]:
     packets: list[bytes] = []
     partial = b""
     for page in pages:
-        # re-derive packet boundaries from the lacing values
-        raise_later = None
-        body = page.body
-        # parse_pages drops lacing info; recover it from the raw bytes
+        # parse_pages drops lacing info; recover packet boundaries
+        # from the raw bytes (packets may span pages)
         packets_here, partial = _split_packets(payload, page, partial)
         packets.extend(packets_here)
     if partial:

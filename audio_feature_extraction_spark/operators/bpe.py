@@ -115,6 +115,9 @@ def train_bpe(
     totals = hist.agg(
         F.count("*").alias("w"), F.sum("count").alias("occ")
     ).collect()[0]
+    if totals["w"] == 0:
+        # empty corpus: a valid (if useless) model with no merges
+        return BpeModel(merges=[], alphabet=[])
     kept_occ = sum(r["count"] for r in top)
     words: dict[tuple[str, ...], int] = {}
     for r in top:
