@@ -982,7 +982,10 @@ def _encode_audio_packet(
     post_book = s.codebooks[s.floor_book_idx]
     delta = value_book.delta_value
     vmin = value_book.minimum_value
-    residual_q = np.zeros(half * s.channels, dtype=np.int64)
+    zero_m0 = int(round((0.0 - vmin) / delta))
+    # silent channels' interleave slots sit AT the zero grid point, so
+    # all-silent partitions classify as the no-bits class
+    residual_q = np.full(half * s.channels, zero_m0, dtype=np.int64)
     levels = []
     for ch, spec in enumerate(spectra):
         peak = float(np.max(np.abs(spec)))
