@@ -261,6 +261,26 @@ def cmd_tokenize(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """BM25/TF-IDF keyword retrieval over the documents corpus with the
+    deterministic corpus-derived query workload; writes (query_id,
+    rank, doc_id, score) parquet."""
+    from audio_feature_extraction_spark.operators import retrieval
+
+    spark = get_spark(app_name="afes-search")
+    docs = spark.read.parquet(f"{args.input}/documents.parquet")
+    out = retrieval.retrieval_topk(
+        docs, k=args.k, variant=args.variant,
+        n_queries=args.queries, terms_per_query=args.terms,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"command": "search", "variant": args.variant,
+                      "rows": n, "k": args.k}))
+    spark.stop()
+    return 0
+
+
 def cmd_probe(args) -> int:
     """Container sniff + real metadata over a (media_id, payload)
     parquet: per-payload container/codec/rate/duration rows, bad
@@ -402,6 +422,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-words", type=int, default=1_000_000)
     sp.add_argument("--min-count", type=int, default=1)
     sp.set_defaults(fn=cmd_tokenize)
+
+    sp = sub.add_parser(
+        "search", help="BM25/TF-IDF keyword retrieval (corpus-derived "
+        "deterministic query workload)"
+    )
+    common(sp)
+    sp.add_argument("--variant", choices=("bm25", "tfidf"), default="bm25")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--queries", type=int, default=5)
+    sp.add_argument("--terms", type=int, default=4)
+    sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser(
         "probe", help="media container sniff + metadata (WAV/FLAC/MP3/"

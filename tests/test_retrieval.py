@@ -288,3 +288,27 @@ def test_bm25_python_witness(spark):
         for rank, (s, i) in enumerate(ranked, start=1):
             want[(q, i)] = (rank, s)
     assert got == want
+
+
+def test_cli_search(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    out = subprocess.run(
+        [sys.executable, "-m", "audio_feature_extraction_spark.cli",
+         "search", "--input", "/root/testdata/sf0.001",
+         "--output", str(tmp_path / "hits"), "--variant", "tfidf", "--k", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == 15 and rep["variant"] == "tfidf"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT query_id, rank FROM '{tmp_path}/hits/*.parquet' "
+        f"ORDER BY query_id, rank"
+    ).fetchall()
+    assert rows == [(q, r) for q in range(5) for r in (1, 2, 3)]
