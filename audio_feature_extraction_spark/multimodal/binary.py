@@ -118,6 +118,15 @@ def _decode_real(payload: bytes, modality: str) -> np.ndarray:
         from audio_feature_extraction_spark.multimodal.image import decode_image
 
         return decode_image(payload).ravel()  # row-major luminance scan
+    if modality == "video":
+        # MJPEG-in-AVI decodes for real (AVI walk -> per-frame baseline
+        # JPEG -> luminance motion signal); inter-coded codecs raise
+        # LoadError at the documented ffmpeg-class seam inside
+        from audio_feature_extraction_spark.multimodal.video import (
+            video_motion_signal,
+        )
+
+        return video_motion_signal(payload)
     raise NotImplementedError(
         f"no {modality} codec in this environment — install ffmpeg "
         f"and implement _decode_real"

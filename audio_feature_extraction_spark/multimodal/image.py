@@ -1,12 +1,14 @@
-"""Pure-python image codecs (BMP + PNG) — the image half of the real
-multimodal decode seam (≙ the reference's loader boundary,
-design.md:451-475; WAV already decodes for real in multimodal/wav.py).
+"""Pure-python image codecs (BMP + PNG here, baseline JPEG in
+multimodal/jpeg.py) — the image half of the real multimodal decode
+seam (≙ the reference's loader boundary, design.md:451-475).
 
 No external libraries: BMP is a fixed header + raw BGR rows; PNG is
-zlib (stdlib) + per-row filters. Supported: uncompressed 24/32-bit BMP
-(bottom-up or top-down), non-interlaced 8-bit PNG in grayscale / RGB /
-RGBA / gray+alpha. Anything else raises LoadError at the documented
-seam (JPEG etc. still need a real codec library).
+zlib (stdlib) + per-row filters; JPEG is the T.81 baseline chain
+(canonical-Huffman entropy decode, dequant, zig-zag, 8x8 IDCT, YCbCr).
+Supported: uncompressed 24/32-bit BMP (bottom-up or top-down),
+non-interlaced 8-bit PNG in grayscale / RGB / RGBA / gray+alpha,
+baseline sequential JPEG (4:4:4 / 4:2:0, restart intervals).
+Anything else raises LoadError at the documented seam.
 
 ``decode_image`` returns the luminance plane as float64 in [0, 1] —
 the fixed contract the feature extractor consumes (mirrors the audio
@@ -30,9 +32,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         rgb = decode_png(payload)
     elif payload[:2] == b"BM":
         rgb = decode_bmp(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from audio_feature_extraction_spark.multimodal.jpeg import decode_jpeg
+
+        rgb = decode_jpeg(payload)
     else:
-        raise LoadError("unsupported image format (PNG and BMP decode here; "
-                        "JPEG/WebP need a codec library)")
+        raise LoadError("unsupported image format (PNG, BMP and baseline "
+                        "JPEG decode here; WebP etc. need a codec library)")
     return rgb.mean(axis=2) / 255.0
 
 

@@ -2,12 +2,12 @@
 
 ``probe_payload`` recognizes every format the engine handles — WAV,
 FLAC, MP3, OGG (Vorbis/Opus), MP4/ISO-BMFF, AVI, Matroska/WebM video,
-PNG, BMP — from magic bytes and parses the real header metadata
+PNG, BMP, JPEG — from magic bytes and parses the real header metadata
 without decoding samples/pixels: WAV fmt chunk, FLAC STREAMINFO, the
 MP3 frame walk (multimodal/mpeg.py), the Ogg page walk
 (multimodal/ogg.py), the ISO-BMFF box walk (multimodal/mp4.py), the
 AVI RIFF hdrl walk (multimodal/avi.py), the EBML element walk
-(multimodal/mkv.py), PNG IHDR, BMP info header.
+(multimodal/mkv.py), PNG IHDR, BMP info header, JPEG SOFn frame header.
 
 ``probe_media_metadata`` lifts it to a DataFrame operator: an
 Arrow-batched narrow map over the payload scan (decode-where-the-
@@ -99,6 +99,35 @@ def _probe_bmp(b: bytes) -> dict:
     return {"container": "bmp", "codec": "bmp", "width": w, "height": abs(h)}
 
 
+def _probe_jpeg(b: bytes) -> dict:
+    """Walk the marker stream to the frame header (any SOFn) for
+    dimensions + component count; baseline vs progressive is reported
+    in the codec string."""
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ProbeError(f"jpeg marker sync lost at byte {pos}")
+        marker = b[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            seg = b[pos + 4 : pos + 2 + seglen]
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            kind = {0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive"}
+            return {
+                "container": "jpeg",
+                "codec": f"jpeg_{kind.get(marker, f'sof{marker - 0xC0}')}",
+                "width": w,
+                "height": h,
+                "channels": seg[5],
+            }
+        pos += 2 + seglen
+    raise ProbeError("jpeg frame header (SOFn) not found")
+
+
 def probe_payload(payload: bytes) -> dict:
     """Sniff the container from magic bytes and parse its metadata.
     Raises ProbeError / Mp3Error / OggError on unrecognized or corrupt
@@ -172,6 +201,8 @@ def probe_payload(payload: bytes) -> dict:
         return _probe_png(b)
     if b[:2] == b"BM":
         return _probe_bmp(b)
+    if b[:2] == b"\xff\xd8":
+        return _probe_jpeg(b)
     if b[:3] == b"ID3" or (
         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
     ):

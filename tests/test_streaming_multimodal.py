@@ -355,19 +355,43 @@ def test_extract_media_features_real_audio(spark):
     assert row.n_bytes == len(payload)
 
 
-def test_extract_media_features_real_video_still_raises(spark):
+def test_extract_media_features_real_video_mjpeg_and_seam(spark):
+    """Video decodes FOR REAL in the executor kernel for the MJPEG-AVI
+    profile; inter-coded payloads degrade to per-row errors at the
+    documented seam (never a job failure)."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal import avi as A
+    from audio_feature_extraction_spark.multimodal import jpeg as J
     from audio_feature_extraction_spark.multimodal.binary import (
         MEDIA_SCHEMA,
         extract_media_features,
     )
 
-    meta = {"width": 4, "height": 4, "sample_rate": None,
-            "n_frames": 3, "codec": "h264"}
+    h, w = 16, 16
+    frames = []
+    for f in range(4):
+        img = ((np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5
+                + f * 11) % 256).astype(np.uint8)
+        frames.append(J.encode_jpeg(img, quality=2))
+    mjpeg = A.build_mjpeg_avi(frames, w, h, fps=4)
+    meta = {"width": w, "height": h, "sample_rate": None,
+            "n_frames": 4, "codec": "mjpg"}
     media = spark.createDataFrame(
-        [("m1", "video", b"\x00\x00\x01", meta)], schema=MEDIA_SCHEMA
+        [("m_mjpeg", "video", mjpeg, meta),
+         ("m_h264", "video", b"\x00\x00\x01garbage", meta)],
+        schema=MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        extract_media_features(media, dim=4, decode_stub=False).collect()
+    out = {
+        r.media_id: r
+        for r in extract_media_features(
+            media, dim=4, decode_stub=False, on_error="skip"
+        ).collect()
+    }
+    assert out["m_mjpeg"].error is None
+    assert len(out["m_mjpeg"].features) == 4
+    assert out["m_h264"].features is None
+    assert out["m_h264"].error is not None
 
 
 @pytest.mark.slow
