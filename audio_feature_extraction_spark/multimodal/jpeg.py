@@ -82,6 +82,8 @@ def build_huffman(bits: list[int], huffval: list[int]):
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
+            if code >= (1 << ln):
+                raise LoadError("over-subscribed DHT code lengths")
             sym = huffval[k]
             enc[sym] = (code, ln)
             dec[(code, ln)] = sym
@@ -451,12 +453,14 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jpeg(
-    rgb: np.ndarray, quality: int = 2, subsample: bool = False
+    rgb: np.ndarray, quality: int = 2, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Deterministic baseline JPEG fixture encoder: (H, W, 3) uint8 (or
     (H, W) grayscale) -> a T.81 stream decodable by :func:`decode_jpeg`
     and structurally by any baseline decoder.  ``subsample`` switches
-    chroma from 4:4:4 to 4:2:0."""
+    chroma from 4:4:4 to 4:2:0; ``restart_interval`` emits a DRI
+    segment and RSTn markers every N MCUs (DC predictors reset)."""
     rgb = np.asarray(rgb)
     gray = rgb.ndim == 2
     h, w = rgb.shape[:2]
@@ -503,9 +507,19 @@ def encode_jpeg(
         planes[c["id"]] = np.pad(p, ((0, pad_y), (0, pad_x)), mode="edge")
 
     bw = JBitWriter()
+    scan_bytes = bytearray()
     pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                scan_bytes += bw.tobytes()      # byte-align (1-padded)
+                scan_bytes += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                bw = JBitWriter()
+                pred = {k: 0 for k in pred}
             for c in comps:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -515,6 +529,8 @@ def encode_jpeg(
                         _encode_block(
                             bw, blk, qtab_zz, dc_enc, ac_enc, pred, c["id"]
                         )
+            mcu_count += 1
+    scan_bytes += bw.tobytes()
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0]) + bytes(int(v) for v in qtab_zz))
@@ -525,11 +541,13 @@ def encode_jpeg(
     out += _seg(0xC0, sof)
     out += _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_val))
     out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_val))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([len(comps)])
     for c in comps:
         sos += bytes([c["id"], 0x00])
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
-    out += bw.tobytes()
+    out += bytes(scan_bytes)
     out += b"\xff\xd9"
     return bytes(out)

@@ -195,3 +195,18 @@ def test_video_decode_real_kernel_path():
         bad[i : i + 4] = b"H264"
     with pytest.raises(LoadError, match="ffmpeg-class"):
         _decode_real(bytes(bad), "video")
+
+
+def test_restart_intervals_roundtrip():
+    """DRI + RSTn markers: byte-aligned restarts with DC predictor
+    resets decode identically to the unrestarted stream."""
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(rgb, quality=2))
+    blob = J.encode_jpeg(rgb, quality=2, restart_interval=3)
+    n_rst = sum(
+        1 for i in range(len(blob) - 1)
+        if blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+    )
+    assert n_rst > 5
+    assert np.array_equal(J.decode_jpeg(blob), base)
