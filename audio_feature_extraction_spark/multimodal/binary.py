@@ -218,9 +218,13 @@ def extract_media_features(
 def sample_video_frames(
     media: DataFrame, every_n: int = 2, decode_stub: bool = True
 ) -> DataFrame:
-    """Frame-sampling plumbing (video analog of the frame/hop grid): emit
-    every ``every_n``-th frame's payload slice. Stub: payload is split
-    into ``meta.n_frames`` equal byte slices; a real impl seeks keyframes.
+    """Frame-sampling plumbing (video analog of the frame/hop grid):
+    emit every ``every_n``-th frame.
+
+    ``decode_stub=False`` extracts REAL frames: for an MJPEG AVI the
+    movi walk yields each sampled frame's actual JPEG payload (decoded
+    downstream by multimodal/jpeg.py).  Stub mode splits the payload
+    into ``meta.n_frames`` equal byte slices — plumbing-only fixtures.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -229,10 +233,17 @@ def sample_video_frames(
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                if not decode_stub:
-                    _decode_real(bytes(payload), "video")
-                n = int(meta["n_frames"] or 1)
                 b = bytes(payload)
+                if not decode_stub:
+                    from audio_feature_extraction_spark.multimodal.avi import (
+                        iter_video_frames,
+                    )
+
+                    for fi, (_s, frame) in enumerate(iter_video_frames(b)):
+                        if fi % every_n == 0:
+                            rows.append((mid, fi, frame))
+                    continue
+                n = int(meta["n_frames"] or 1)
                 step = max(len(b) // max(n, 1), 1)
                 for fi in range(0, n, every_n):
                     rows.append((mid, fi, b[fi * step : (fi + 1) * step]))

@@ -210,3 +210,25 @@ def test_restart_intervals_roundtrip():
     )
     assert n_rst > 5
     assert np.array_equal(J.decode_jpeg(blob), base)
+
+
+def test_sample_video_frames_real_extracts_jpegs(spark):
+    """decode_stub=False yields the ACTUAL per-frame JPEG payloads from
+    the AVI movi walk; each sampled frame decodes to real pixels."""
+    from audio_feature_extraction_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    blob, frames_rgb = _mjpeg_fixture(n=6)
+    meta = {"width": 48, "height": 32, "sample_rate": None,
+            "n_frames": 6, "codec": "mjpg"}
+    media = spark.createDataFrame(
+        [("m1", "video", blob, meta)], schema=MEDIA_SCHEMA
+    )
+    rows = sample_video_frames(media, every_n=2, decode_stub=False).collect()
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    for r in rows:
+        rgb = J.decode_jpeg(bytes(r.frame_payload))
+        ref = frames_rgb[r.frame_idx].astype(float)
+        assert _psnr(rgb, ref) > 25.0
