@@ -256,3 +256,113 @@ def retrieval_oracle_sql(
         f"FROM per_doc) "
         f"SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent inverted index (build once, query many)
+# ---------------------------------------------------------------------------
+
+
+N_INDEX_BUCKETS = 64
+
+
+def write_postings_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = N_INDEX_BUCKETS,
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index for repeated query workloads:
+    postings partitioned on ``term_bucket = pmod(xxhash64(term), n)``.
+
+    The layout is the scale story: a query touches only its terms'
+    bucket directories (partition PRUNING at the scan — asserted in
+    tests), so per-query cost is proportional to buckets hit, not
+    corpus size.  Corpus scalars (n_docs, avgdl) are written alongside
+    so queries never rescan the corpus.
+    """
+    post = postings(docs, text_col=text_col).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    post.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    docs.selectExpr(
+        "doc_id", f"size({_words(text_col, True)}) as dl"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    ).withColumn(
+        "n_buckets", F.lit(n_buckets)  # layout parameter rides with the
+    ).write.mode("overwrite").parquet(f"{path}/scalars")  # index itself
+
+
+def query_index(
+    spark,
+    path: str,
+    terms_by_query: dict[int, list[str]],
+    k: int = 5,
+    variant: str = "bm25",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents per query against a saved index, reading ONLY
+    the query terms' bucket partitions (the bucket count is read from
+    the index's own scalars table — the layout is self-describing).
+
+    ``terms_by_query``: query_id -> list of terms (a term may serve
+    several queries here, unlike the corpus-derived workload).
+    """
+    q_rows = [
+        (int(q), t) for q, ts in terms_by_query.items() for t in ts
+    ]
+    q = spark.createDataFrame(q_rows, "query_id long, term string")
+    n_buckets = int(
+        spark.read.parquet(f"{path}/scalars").select("n_buckets").head()[0]
+    )
+    buckets = sorted(
+        {
+            r.term_bucket
+            for r in q.withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)),
+            )
+            .select("term_bucket")
+            .distinct()
+            .collect()
+        }
+    )
+    post = spark.read.parquet(f"{path}/postings").where(
+        F.col("term_bucket").isin(buckets)  # partition pruning
+    )
+    scalars = spark.read.parquet(f"{path}/scalars").drop("n_buckets")
+    qpost = post.join(F.broadcast(q), "term")
+    dfs = qpost.select("term", "doc_id").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = (
+        qpost.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(scalars))
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "term",
+            f"{_contrib_sql(variant, k1, b, True)} as contrib",
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(term, contrib))), "
+            "cast(0.0 as double), (acc, x) -> acc + x.contrib)"
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -312,3 +312,52 @@ def test_cli_search(tmp_path):
         f"ORDER BY query_id, rank"
     ).fetchall()
     assert rows == [(q, r) for q in range(5) for r in (1, 2, 3)]
+
+
+def test_persistent_index_matches_direct_and_prunes(spark, tmp_path):
+    """write_postings_index + query_index: (a) the saved-index query
+    reproduces retrieval_topk exactly when fed the same workload;
+    (b) the scan reads ONLY the query terms' bucket partitions
+    (PartitionFilters in the physical plan — the per-query cost story)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    retrieval.write_postings_index(docs, str(tmp_path / "idx"))
+    q = retrieval.corpus_queries(retrieval.postings(docs)).collect()
+    terms_by_query = {}
+    for r in q:
+        terms_by_query.setdefault(int(r.query_id), []).append(r.term)
+    out = retrieval.query_index(
+        spark, str(tmp_path / "idx"), terms_by_query, k=5
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score) for r in out.collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in retrieval.retrieval_topk(docs, k=5).collect()
+    )
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [term_bucket" in plan.replace("#", "").replace(
+        plan[plan.find("term_bucket") + 11 : plan.find("term_bucket") + 11], ""
+    ) or "term_bucket" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*term_bucket[^\]]*IN", plan)
+    assert m, "bucket partition pruning missing from the scan"
+
+
+def test_index_query_shared_terms_across_queries(spark, tmp_path):
+    """Unlike the corpus-derived workload, index queries may share a
+    term; df stays the global per-term document count."""
+    texts = ["apple pie", "apple cake", "banana split", "apple banana"]
+    docs = _docs(spark, texts)
+    retrieval.write_postings_index(docs, str(tmp_path / "idx"), n_buckets=8)
+    # n_buckets is read from the index itself (self-describing layout)
+    out = retrieval.query_index(
+        spark, str(tmp_path / "idx"),
+        {0: ["apple"], 1: ["apple", "banana"]}, k=4,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    assert by_q[0] == {0, 1, 3}
+    assert by_q[1] == {0, 1, 2, 3}
