@@ -436,7 +436,7 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "probe", help="media container sniff + metadata (WAV/FLAC/MP3/"
-        "OGG/PNG/BMP) over a (media_id, payload) parquet"
+        "OGG/MP4/AVI/MKV/PNG/BMP/JPEG) over a (media_id, payload) parquet"
     )
     common(sp)
     sp.add_argument("--on-error", choices=("skip", "raise"), default="skip")
