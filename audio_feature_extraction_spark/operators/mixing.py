@@ -277,8 +277,12 @@ def dsir_lambda_table(tokseq: DataFrame) -> DataFrame:
         F.sum("is_t").alias("c1"),
         F.sum(F.expr("1 - is_t")).alias("c0"),
     )
-    tot = ex.agg(
-        F.sum("is_t").alias("n1"), F.sum(F.expr("1 - is_t")).alias("n0")
+    # totals from the DSIR_BUCKETS-row counts relation (one exchange,
+    # reused) instead of re-aggregating the train-split explode; coalesce
+    # keeps smoothing finite on an empty/all-empty train split.
+    tot = counts.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum("c0"), F.lit(0)).alias("n0"),
     )
     grid = tot.select(
         F.explode(F.expr(f"sequence(0, {v - 1})")).alias("b"), "n1", "n0"

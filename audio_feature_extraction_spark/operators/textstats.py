@@ -501,9 +501,15 @@ def nb_train(tokseq: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.sum(F.expr("case when weak_label = 1 then 1 else 0 end")).alias("c1"),
         F.sum(F.expr("case when weak_label = 0 then 1 else 0 end")).alias("c0"),
     )
-    tot = ex.agg(
-        F.sum(F.expr("case when weak_label = 1 then 1 else 0 end")).alias("n1"),
-        F.sum(F.expr("case when weak_label = 0 then 1 else 0 end")).alias("n0"),
+    # totals derive from the NB_BUCKETS-row counts relation, not a second
+    # corpus-wide explode: every exploded row lands in exactly one bucket,
+    # so n1 = sum(c1) / n0 = sum(c0); the identical counts subtree lets
+    # Spark reuse one exchange where the old ex.agg re-ran the explode.
+    # coalesce(0) keeps the smoothed weights finite when the train split
+    # has zero exploded tokens (empty arrays) instead of NULL-poisoning.
+    tot = counts.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum("c0"), F.lit(0)).alias("n0"),
     )
     dtot = train.agg(
         F.sum("weak_label").alias("d1"),

@@ -7,7 +7,7 @@ Kernel-level (no Spark session): hundreds of examples per run.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from audio_feature_extraction_spark.core.config import FrameSpec
 from audio_feature_extraction_spark.operators.framing import featurize_batch
@@ -686,6 +686,9 @@ _nb_corpora = st.lists(
 
 @settings(max_examples=15, deadline=None)
 @given(seqs=_nb_corpora)
+# r05 falsifier: train split with only empty token arrays must yield the
+# smoothed prior (ln 3), not NULL-poisoned weights and predicted=0
+@example(seqs=[[], [], [0]])
 def test_nb_quality_matches_python_witness_property(spark, seqs):
     from audio_feature_extraction_spark.operators import textstats
     from tests.test_dedup_similarity import _np_nb_quality
