@@ -817,11 +817,10 @@ def duplicate_gram_spans(
                     )
                 ).alias("pos", "gram"),
             )
-            cand = (
-                g.withColumn("gh", F.xxhash64("gram"))
-                .join(hot, "gh")
-                .drop("gh")
-            )
+            # keep gh: the exact-count window below leads its partition
+            # key with the 8-byte hash so the sort comparator almost
+            # never touches the k-int arrays
+            cand = g.withColumn("gh", F.xxhash64("gram")).join(hot, "gh")
     else:
         cand = (
             tokseq.where(F.col("n_tok") >= F.lit(k))
@@ -835,13 +834,25 @@ def duplicate_gram_spans(
                 ).alias("pos", "gram"),
             )
         )
-    dupg = (
-        cand.groupBy("gram")
-        .agg(F.count("*").alias("_c"))
+    # Exact verification in ONE gram exchange (r06): every occurrence of
+    # a gram shares its hash, so the candidate stream holds ALL of a
+    # candidate gram's occurrences and a window count over the gram
+    # partition IS the corpus count. The former groupBy(gram) + join
+    # shape executed the full-gram explode twice and sort-merge-joined
+    # two gram-keyed exchanges; this is the same filter with one
+    # explode, one exchange, one sort. The partition key leads with the
+    # 8-byte hash (gram determines gh, so (gh, gram) groups == gram
+    # groups) to keep the sort off the arrays. (isNotNull mirrors the
+    # old inner join's null-key drop.)
+    if "gh" not in cand.columns:
+        cand = cand.withColumn("gh", F.xxhash64("gram"))
+    w_cnt = Window.partitionBy("gh", "gram")
+    hits = (
+        cand.where(F.col("gram").isNotNull())
+        .withColumn("_c", F.count("*").over(w_cnt))
         .where(F.col("_c") >= min_count)
-        .select("gram")
+        .select("doc_id", "pos")
     )
-    hits = cand.join(dupg, "gram").select("doc_id", "pos")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

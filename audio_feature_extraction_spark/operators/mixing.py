@@ -307,32 +307,38 @@ def dsir_weights(tokseq: DataFrame) -> DataFrame:
     Output: (doc_id, source, n_tok, n_feats, lw_micro, key_micro) for
     EVERY input doc — docs too short for a bigram score 0 (ln-ratio of
     the empty product) and compete on bare Gumbel noise.
+
+    r06 shape: the fitted 128-row ``lam`` table is collected to driver
+    literals (bounded by construction — the :func:`nb_expr_score`
+    serving precedent) and the weighting pass compiles into ONE narrow
+    fold expression per doc: integer sums are order-free, so the fold
+    is bit-identical to the old explode → broadcast-join → groupBy
+    plan, but ships zero rows through any exchange and drops the
+    short-doc union (an empty feature array folds to 0 by itself). The
+    only remaining shuffle in the whole weighting job is the tiny
+    fit's bucket aggregation.
     """
-    lam = dsir_lambda_table(tokseq)
-    # source/n_tok ride through the explode so the per-doc aggregate
-    # needs NO join back to tokseq (a full doc_id shuffle join at
-    # corpus width); docs too short for a bigram are a narrow filter
-    # unioned in with zero weight
-    feats = tokseq.select(
-        "doc_id", "source", "n_tok",
-        F.explode(F.expr(_dsir_feats(True))).alias("b"),
+    lam_rows = {
+        r.b: int(r.lam) for r in dsir_lambda_table(tokseq).collect()
+    }
+    arr = "array(%s)" % ", ".join(
+        f"{lam_rows[b]}L" for b in range(DSIR_BUCKETS)
     )
-    sc = (
-        feats.join(F.broadcast(lam), "b")
-        .groupBy("doc_id", "source", "n_tok")
-        .agg(
-            F.count("*").cast("long").alias("n_feats"),
-            F.expr("CAST(sum(lam) AS BIGINT)").alias("lw_micro"),
-        )
-    )
-    short = tokseq.where(F.col("n_tok") < 2).select(
-        "doc_id", "source", "n_tok",
-        F.lit(0).cast("long").alias("n_feats"),
-        F.lit(0).cast("long").alias("lw_micro"),
+    feats = _dsir_feats(True)
+    fold = (
+        f"aggregate({feats}, cast(0 as bigint), "
+        f"(acc, b) -> acc + element_at({arr}, cast(b as int) + 1))"
     )
     num = "CAST(regexp_replace(doc_id, '[^0-9]', '') AS BIGINT)"
     g = _dsir_gumbel(num)
-    return sc.unionByName(short).select(
+    base = tokseq.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr(f"cast(size({feats}) as bigint)").alias("n_feats"),
+        F.expr(fold).alias("lw_micro"),
+    )
+    return base.select(
         "doc_id",
         "source",
         "n_tok",
