@@ -640,8 +640,8 @@ def asof_join_range(
         # call for the session lifetime (ADVICE r04).
         part = sorted_run.persist()
     try:
-        # itertuples mangles column names that start with "_", so both
-        # kernels walk positional tuples via a column-index map
+        # itertuples mangles column names that start with "_", so the
+        # serve kernel walks positional tuples via a column-index map
         cols = part.columns
         I = {c: i for i, c in enumerate(cols)}
         ie, itsu, itag, iseq, iv, ipid = (
@@ -704,7 +704,7 @@ def asof_join_range(
             (batch, pid) stretch. On the persisted path each task is a
             single pid (the degenerate, zero-split case); on the
             durable read-back path a task holds several whole pids in
-            order, so both kernels walk pid segments."""
+            order, so the serve kernel walks pid segments."""
             import numpy as np
 
             for pdf in batches:
@@ -722,52 +722,98 @@ def asof_join_range(
                     )
                     yield int(pids[s]), sub
 
-        # ---- pass A: per-pid summary of the LAST entity's carry
-        # (vectorized: only each batch's final entity segment is folded)
-        def summarize(batches):
-            rows = []
-            cur, run = None, None
-
-            def _close(pid, run):
-                if run is None:
-                    return
-                last_e, last, prev = run
-                rows.append(
-                    (
-                        pid,
-                        last_e,
-                        *(last or (None, None, None)),
-                        *(prev or (None, None, None)),
-                    )
-                )
-
-            for pid, pdf in _pid_segments(batches):
-                if pid != cur:
-                    _close(cur, run)
-                    cur, run = pid, None
-                e, tsu, _tag, seq, v, _ar, seg_start, is_state = (
-                    _batch_arrays(pdf)
-                )
-                run = _tail_update(run, e, tsu, seq, v, seg_start, is_state)
-            _close(cur, run)
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "pid", "e", "lv", "lt", "ls", "pv", "pt", "ps",
-                    ],
-                )
-
+        # ---- pass A: per-pid summary of the LAST entity's carry — all
+        # JVM (r06; was a mapInPandas walk that shipped the whole run
+        # through Arrow/pandas a third time). The run is sorted by
+        # (_e, _tsu), so the pid's last entity is max(_e), and
+        # max(when(is_state, struct(_e, _tsu, _seq, _v))) orders by
+        # entity first: the global max state belongs to the last entity
+        # iff its e equals max(_e) — one cached columnar scan, a 1-row-
+        # per-partition partial agg, and a P-row collect. ``prev`` (the
+        # latest strictly-earlier state) is only consumed by strict
+        # mode, where a second tiny job derives it from the collected
+        # per-pid last timestamps.
         e_type = part.schema["_e"].dataType.simpleString()
+        state_ok = (
+            (F.col("_tag") == F.lit(state_tag))
+            & F.col("_v").isNotNull()
+            & ~F.isnan(F.col("_v"))
+        )
+        arows = (
+            part.groupBy("_pid")
+            .agg(
+                F.max("_e").alias("e"),
+                F.max(
+                    F.when(
+                        state_ok,
+                        F.struct(
+                            F.col("_e").alias("se"),
+                            F.col("_tsu").alias("t"),
+                            F.col("_seq").alias("s"),
+                            F.col("_v").alias("v"),
+                        ),
+                    )
+                ).alias("ls"),
+            )
+            .collect()
+        )
+        lastd = {
+            r["_pid"]: (float(r.ls.v), int(r.ls.t), int(r.ls.s))
+            for r in arows
+            if r.ls is not None and r.ls.se == r.e
+        }
+        prevd: dict[int, tuple] = {}
+        if strict and lastd:
+            ed = {r["_pid"]: r.e for r in arows}
+            lt_rows = [
+                (int(p), ed[p], lv[1]) for p, lv in lastd.items()
+            ]
+            lt_tab = spark.createDataFrame(
+                lt_rows, f"lpid int, le {e_type}, lt long"
+            )
+            prows = (
+                part.where(state_ok)
+                .join(
+                    F.broadcast(lt_tab),
+                    (F.col("_pid") == F.col("lpid"))
+                    & (F.col("_e") == F.col("le"))
+                    & (F.col("_tsu") < F.col("lt")),
+                )
+                .groupBy("_pid")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("_tsu").alias("t"),
+                            F.col("_seq").alias("s"),
+                            F.col("_v").alias("v"),
+                        )
+                    ).alias("ps")
+                )
+                .collect()
+            )
+            prevd = {
+                r["_pid"]: (float(r.ps.v), int(r.ps.t), int(r.ps.s))
+                for r in prows
+                if r.ps is not None
+            }
+
+        class _Summary:
+            __slots__ = ("pid", "e", "last", "prev")
+
+            def __init__(self, pid, e, last, prev):
+                self.pid, self.e, self.last, self.prev = pid, e, last, prev
+
         summaries = sorted(
-            part.mapInPandas(
-                summarize,
-                schema=(
-                    f"pid int, e {e_type}, lv double, lt long, ls long, "
-                    f"pv double, pt long, ps long"
-                ),
-            ).collect(),
-            key=lambda r: r.pid,
+            (
+                _Summary(
+                    int(r["_pid"]),
+                    r.e,
+                    lastd.get(r["_pid"]),
+                    prevd.get(r["_pid"]),
+                )
+                for r in arows
+            ),
+            key=lambda s: s.pid,
         )
 
         # ---- driver combine: O(P) chain of (entity, last, prev)
@@ -776,8 +822,8 @@ def asof_join_range(
         for s in summaries:
             if run_e is not None:
                 carry_in[s.pid] = (run_e, run_last, run_prev)
-            s_last = (s.lv, s.lt, s.ls) if s.lt is not None else None
-            s_prev = (s.pv, s.pt, s.ps) if s.pt is not None else None
+            s_last = s.last
+            s_prev = s.prev
             if s.e == run_e:
                 run_last, run_prev = _merge_carry(
                     [run_last, run_prev, s_last, s_prev]

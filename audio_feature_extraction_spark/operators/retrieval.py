@@ -165,13 +165,26 @@ def retrieval_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k documents per query: (query_id, rank, doc_id, score).
 
     ``variant``: ``bm25`` (Okapi, k1/b as given) or ``tfidf``
     (tf * ln(N/df)).  Ties break to the lower doc_id.
+
+    ``materialize`` (r06): the postings relation feeds the query
+    workload, the document frequencies AND the scoring join — as one
+    lazy plan the corpus explode + aggregation executed once per
+    consumer (four scans in the physical plan). Materializing it once
+    (eager ``localCheckpoint``, the ``duplicate_gram_spans`` hash-count
+    precedent) makes every consumer read the same computed blocks.
+    This is the in-session analog of :func:`write_postings_index` —
+    at cluster scale a repeated workload reads the persistent index
+    instead; pass ``materialize=False`` to keep the fully lazy plan.
     """
     post = postings(docs, text_col=text_col)
+    if materialize:
+        post = post.localCheckpoint(eager=True)
     q = corpus_queries(post, n_queries, terms_per_query)
     # Corpus scalars: one row, broadcast through the cross join.  dl is
     # per-document, so average it over distinct docs (postings repeat
