@@ -443,7 +443,15 @@ def lsh_candidate_pairs(
         if use_kernel
         else minhash_signatures(tokseq, spec)
     )
-    bands = lsh_band_keys(sigs, spec).select("band", "band_key", "doc_id")
+    # materialize the band table once (r06): both sides of the self-join
+    # reference it, and as a lazy plan each side re-ran the full MinHash
+    # kernel over the corpus — the band table is ~bands rows/doc of
+    # (int, string, id), tiny next to the signature computation it caches
+    bands = (
+        lsh_band_keys(sigs, spec)
+        .select("band", "band_key", "doc_id")
+        .localCheckpoint(eager=True)
+    )
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "band_key").agg(
             F.count("*").alias("_bucket_n")

@@ -1067,6 +1067,11 @@ def semdedup_pairs(
             .where(F.col("_cell_n") <= max_cell_size)
             .drop("_cell_n")
         )
+    # materialize the assignment once (r06): both sides of the cluster
+    # self-join reference it, and as a lazy plan each side re-ran the
+    # full centroid-assignment pass (Arrow kernel or HOF expression)
+    # over the corpus
+    assigned = assigned.localCheckpoint(eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,
