@@ -782,6 +782,7 @@ def duplicate_gram_spans(
             ).alias("pos", "gh"),
         )
         hc = pos_h.groupBy("gh").agg(F.count("*").alias("_hc"))
+        saturated = False
         if gather is None:
             # materialize the counts once; the probe and both shape
             # branches read the checkpointed blocks (reclaimed by the
@@ -792,6 +793,12 @@ def duplicate_gram_spans(
                 F.sum(F.when(F.col("_hc") >= min_count, F.col("_hc"))),
             ).first()
             gather = (hot_n or 0) < 0.35 * max(tot or 0, 1)
+            # r06: when (almost) every position is hot the broadcast
+            # prune would drop (almost) nothing — the exact window
+            # count below is the real filter either way, so skip
+            # building and probing a multi-million-key hash relation
+            # that admits ~everything
+            saturated = (hot_n or 0) >= 0.95 * max(tot or 0, 1)
         hot = hc.where(F.col("_hc") >= min_count).select("gh")
         if gather:
             cand_pos = pos_h.join(hot, "gh").select("doc_id", "pos")
@@ -828,7 +835,9 @@ def duplicate_gram_spans(
             # keep gh: the exact-count window below leads its partition
             # key with the 8-byte hash so the sort comparator almost
             # never touches the k-int arrays
-            cand = g.withColumn("gh", F.xxhash64("gram")).join(hot, "gh")
+            cand = g.withColumn("gh", F.xxhash64("gram"))
+            if not saturated:
+                cand = cand.join(hot, "gh")
     else:
         cand = (
             tokseq.where(F.col("n_tok") >= F.lit(k))

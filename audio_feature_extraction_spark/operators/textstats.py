@@ -561,10 +561,36 @@ def nb_score(
 
 
 def nb_quality(tokseq: DataFrame) -> DataFrame:
-    """Train on the deterministic 'train' split, score EVERY doc —
-    :func:`nb_train` + :func:`nb_score` in one lazy plan."""
+    """Train on the deterministic 'train' split, score EVERY doc.
+
+    r06 shape: the trained model (64 weights + prior, bounded by
+    construction) is collected to driver literals and the scoring pass
+    compiles into one integer fold per doc (the :func:`nb_expr_score`
+    serving shape) — bit-identical to :func:`nb_score`'s explode →
+    broadcast-join → groupBy plan (integer sums are order-free; the
+    ``coalesce`` reproduces the join's null-bucket drop; the size
+    filter reproduces explode semantics for empty docs), but the
+    scoring side ships zero rows through any exchange. Only the tiny
+    fit still shuffles. Use :func:`nb_train` + :func:`nb_score` to
+    score with a *stored* model table instead.
+    """
     wtab, pri = nb_train(tokseq)
-    return nb_score(tokseq, wtab, pri)
+    weights, prior = nb_model_literals(wtab, pri)
+    v, a, b = NB_BUCKETS, NB_MULT, NB_OFF
+    arr = f"array({', '.join(f'{int(w)}L' for w in weights)})"
+    score = (
+        f"{int(prior)}L + aggregate(tokens, cast(0 as bigint), "
+        f"(acc, t) -> acc + coalesce(element_at({arr}, "
+        f"((t * {a} + {b}) % {v} + {v}) % {v} + 1), cast(0 as bigint)))"
+    )
+    return tokseq.where(F.expr("size(tokens) > 0")).select(
+        "doc_id",
+        F.expr(_NB_LABEL[True]).alias("weak_label"),
+        F.expr(score).cast("long").alias("nb_score_micro"),
+        F.expr(f"case when ({score}) > 0 then 1 else 0 end").alias(
+            "predicted"
+        ),
+    )
 
 
 def nb_quality_oracle_sql(

@@ -344,19 +344,28 @@ def test_round5_ops_plan_shapes(spark):
     assert "BatchEvalPython" not in plan        # pure JVM
 
     # SemDeDup kernel path (the default): assignment is ONE Arrow
-    # mapInPandas over the scan — no per-row Python, no cartesian
+    # mapInPandas over the scan — no per-row Python, no cartesian.
+    # r06: the assignment materializes once (localCheckpoint) before
+    # the self-join, so the kernel shape is asserted on the assignment
+    # operator itself and the pair plan reads the checkpointed blocks.
+    aplan = _plan(
+        similarity.semdedup_assign_kernel(emb, 16, 64, "vec_id", "embedding")
+    )
+    assert "MapInPandas" in aplan
+    assert "BatchEvalPython" not in aplan
     sdk = similarity.semdedup_pairs(emb, threshold=0.2, n_clusters=16)
     kplan = _plan(sdk)
     assert "CartesianProduct" not in kplan
-    assert "MapInPandas" in kplan
+    assert "ExistingRDD" in kplan               # checkpointed assignment
     assert "BatchEvalPython" not in kplan
 
-    # NB quality: the trained weight table joins BROADCAST into the
-    # scoring explode (train small, score everywhere); no cartesian
-    # beyond the 1-row prior attach; all-JVM
+    # NB quality (r06 shape): the trained model is collected to driver
+    # literals and scoring compiles to one integer fold per doc — the
+    # scoring plan is a narrow projection with ZERO exchanges (the fit
+    # runs eagerly at build time); no cartesian, all-JVM
     ts = load_token_sequences(spark, SF)
     nb = textstats.nb_quality(ts)
     nplan = _plan(nb)
-    assert "BroadcastHashJoin" in nplan         # weight-table join
+    assert _n_exchanges(nb) == 0                # fold, not join+agg
     assert "CartesianProduct" not in nplan
     assert "BatchEvalPython" not in nplan
