@@ -584,8 +584,6 @@ def asof_join_range(
       pid-segment aware. The scratch is left for the lazy result's
       read and overwritten by the next run on the same dir.
     """
-    import pandas as pd
-
     spark = probes.sparkSession
     state_tag, probe_tag = (0, 1) if not strict else (1, 0)
     carry_cols = [
@@ -662,23 +660,6 @@ def asof_join_range(
             )
             return new_last, new_prev
 
-        def _batch_arrays(pdf):
-            import numpy as np
-
-            e = pdf.iloc[:, ie].to_numpy()
-            tsu = pdf.iloc[:, itsu].to_numpy().astype(np.int64)
-            tag = pdf.iloc[:, itag].to_numpy()
-            seq = pdf.iloc[:, iseq].to_numpy().astype(np.int64)
-            v = pdf.iloc[:, iv].astype("float64").to_numpy()
-            n = len(pdf)
-            arange = np.arange(n)
-            new_seg = np.empty(n, dtype=bool)
-            new_seg[0] = True
-            new_seg[1:] = e[1:] != e[:-1]
-            seg_start = np.maximum.accumulate(np.where(new_seg, arange, 0))
-            is_state = (tag == state_tag) & ~np.isnan(v)
-            return e, tsu, tag, seq, v, arange, seg_start, is_state
-
         def _tail_update(run, e, tsu, seq, v, seg_start, is_state):
             """Fold a batch's FINAL entity segment into the running
             (entity, last, prev) carry chain."""
@@ -698,29 +679,6 @@ def asof_join_range(
                     cands.append((float(v[pi]), int(tsu[pi]), int(seq[pi])))
             new_last, new_prev = _merge_carry(cands)
             return (last_e, new_last, new_prev)
-
-        def _pid_segments(batches):
-            """Yield (pid, sub_pdf) contiguous runs — one per
-            (batch, pid) stretch. On the persisted path each task is a
-            single pid (the degenerate, zero-split case); on the
-            durable read-back path a task holds several whole pids in
-            order, so the serve kernel walks pid segments."""
-            import numpy as np
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                pids = pdf.iloc[:, ipid].to_numpy()
-                cuts = np.where(pids[1:] != pids[:-1])[0] + 1
-                starts = np.concatenate(([0], cuts))
-                ends = np.concatenate((cuts, [len(pids)]))
-                for s, t in zip(starts, ends):
-                    sub = (
-                        pdf
-                        if s == 0 and t == len(pids)
-                        else pdf.iloc[s:t]
-                    )
-                    yield int(pids[s]), sub
 
         # ---- pass A: per-pid summary of the LAST entity's carry — all
         # JVM (r06; was a mapInPandas walk that shipped the whole run
@@ -851,88 +809,149 @@ def asof_join_range(
         # row indices, invalidated before each entity's segment start);
         # the tag ordering already encodes the inclusive/strict boundary
         # for in-batch serves, so only the cross-batch/-partition carry
-        # needs the scalar tie handling on each batch's LEADING segment.
+        # needs the scalar tie handling on each batch's LEADING pid
+        # segment. r06: the kernel is mapInArrow (was mapInPandas) — the
+        # six core columns convert straight to numpy and the probe carry
+        # payload (strings/maps) is never converted to Python objects at
+        # all: it passes through as Arrow buffers re-sliced by one
+        # filter per batch (guide §4.2).
         def serve(batches):
             import numpy as np
+            import pyarrow as pa
 
             cur, run = None, None
-            for pid, pdf in _pid_segments(batches):
-                if pid != cur:
-                    cur, run = pid, bc.value.get(pid)
-                e, tsu, tag, seq, v, arange, seg_start, is_state = (
-                    _batch_arrays(pdf)
+            for rb in batches:
+                n = rb.num_rows
+                if not n:
+                    continue
+                pids = rb.column(ipid).to_numpy(zero_copy_only=False)
+                e_all = rb.column(ie).to_numpy(zero_copy_only=False)
+                tsu_all = (
+                    rb.column(itsu)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
                 )
-                idx = np.where(is_state, arange, -1)
-                ff = np.maximum.accumulate(idx)
-                has = ff >= seg_start
-                ffs = np.where(has, ff, 0)
-                out_v = np.where(has, v[ffs], np.nan)
-                out_t = np.where(has, tsu[ffs], np.int64(0))
-                # Served-state mask is an explicit boolean, NOT a sign
-                # test on the timestamp — pre-epoch states (negative
-                # unix_micros) are real data, not "absent" (ADVICE r04).
-                out_has = has.copy()
+                tag_all = rb.column(itag).to_numpy(zero_copy_only=False)
+                seq_all = (
+                    rb.column(iseq)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                v_all = (
+                    rb.column(iv)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                )
+                out_v_all = np.full(n, np.nan)
+                out_t_all = np.zeros(n, dtype=np.int64)
+                has_all = np.zeros(n, dtype=bool)
+                pm_all = np.zeros(n, dtype=bool)
+                cuts = np.where(pids[1:] != pids[:-1])[0] + 1
+                seg_bounds = zip(
+                    np.concatenate(([0], cuts)),
+                    np.concatenate((cuts, [n])),
+                )
+                for s, t in seg_bounds:
+                    pid = int(pids[s])
+                    if pid != cur:
+                        cur, run = pid, bc.value.get(pid)
+                    e, tsu, tag, seq, v = (
+                        e_all[s:t], tsu_all[s:t], tag_all[s:t],
+                        seq_all[s:t], v_all[s:t],
+                    )
+                    m = t - s
+                    arange = np.arange(m)
+                    new_seg = np.empty(m, dtype=bool)
+                    new_seg[0] = True
+                    new_seg[1:] = e[1:] != e[:-1]
+                    seg_start = np.maximum.accumulate(
+                        np.where(new_seg, arange, 0)
+                    )
+                    is_state = (tag == state_tag) & ~np.isnan(v)
+                    idx = np.where(is_state, arange, -1)
+                    ff = np.maximum.accumulate(idx)
+                    has = ff >= seg_start
+                    ffs = np.where(has, ff, 0)
+                    out_v = np.where(has, v[ffs], np.nan)
+                    out_t = np.where(has, tsu[ffs], np.int64(0))
+                    # Served-state mask is an explicit boolean, NOT a
+                    # sign test on the timestamp — pre-epoch states
+                    # (negative unix_micros) are real data, not
+                    # "absent" (ADVICE r04).
+                    out_has = has.copy()
 
-                # cross-batch carry: the leading segment only
-                if run is not None and run[0] == e[0] and run[1] is not None:
-                    lv, lt, ls = run[1]
-                    lead = seg_start == 0
-                    no_state = lead & ~has
-                    out_v = np.where(no_state, lv, out_v)
-                    out_t = np.where(no_state, lt, out_t)
-                    out_has = out_has | no_state
-                    # boundary tie: equal-ts state split across batches,
-                    # the carried one has the higher seq
-                    tie = lead & has & (out_t == lt) & (seq[ffs] < ls)
-                    out_v = np.where(tie, lv, out_v)
-
-                probes_mask = tag == probe_tag
-                if strict:
-                    # in-batch serves are strictly earlier by tag order;
-                    # only a carried equal-ts state can violate
-                    viol = probes_mask & out_has & (out_t >= tsu)
+                    # cross-batch carry: the leading segment only
                     if (
                         run is not None
                         and run[0] == e[0]
-                        and run[2] is not None
+                        and run[1] is not None
                     ):
-                        pv_, pt_, _ps = run[2]
-                        usable = viol & (seg_start == 0) & (pt_ < tsu)
-                        out_v = np.where(usable, pv_, out_v)
-                        out_t = np.where(usable, pt_, out_t)
-                        viol &= ~usable
-                    out_v = np.where(viol, np.nan, out_v)
-                    out_has = out_has & ~viol
-                if ttl_us is not None:
-                    stale = out_has & (tsu - out_t > ttl_us)
-                    out_v = np.where(stale, np.nan, out_v)
-                    out_has = out_has & ~stale
+                        lv, lt, ls = run[1]
+                        lead = seg_start == 0
+                        no_state = lead & ~has
+                        out_v = np.where(no_state, lv, out_v)
+                        out_t = np.where(no_state, lt, out_t)
+                        out_has = out_has | no_state
+                        # boundary tie: equal-ts state split across
+                        # batches, the carried one has the higher seq
+                        tie = lead & has & (out_t == lt) & (seq[ffs] < ls)
+                        out_v = np.where(tie, lv, out_v)
 
-                pm = probes_mask
-                if pm.any():
-                    served_has = out_has[pm]
-                    data = {
-                        entity: e[pm],
-                        seq_col: seq[pm],
-                        ts_col: pd.to_datetime(tsu[pm] * 1000),
-                    }
-                    for c, ci in zip(carry_cols, icarry):
-                        data[c] = pdf.iloc[:, ci].to_numpy()[pm]
-                    data["asof_value"] = out_v[pm]
-                    data["asof_ts"] = pd.to_datetime(
-                        np.where(
-                            served_has,
-                            out_t[pm] * 1000,
-                            np.iinfo(np.int64).min,  # NaT
-                        )
+                    probes_mask = tag == probe_tag
+                    if strict:
+                        # in-batch serves are strictly earlier by tag
+                        # order; only a carried equal-ts state violates
+                        viol = probes_mask & out_has & (out_t >= tsu)
+                        if (
+                            run is not None
+                            and run[0] == e[0]
+                            and run[2] is not None
+                        ):
+                            pv_, pt_, _ps = run[2]
+                            usable = viol & (seg_start == 0) & (pt_ < tsu)
+                            out_v = np.where(usable, pv_, out_v)
+                            out_t = np.where(usable, pt_, out_t)
+                            viol &= ~usable
+                        out_v = np.where(viol, np.nan, out_v)
+                        out_has = out_has & ~viol
+                    if ttl_us is not None:
+                        stale = out_has & (tsu - out_t > ttl_us)
+                        out_v = np.where(stale, np.nan, out_v)
+                        out_has = out_has & ~stale
+
+                    out_v_all[s:t] = out_v
+                    out_t_all[s:t] = out_t
+                    has_all[s:t] = out_has
+                    pm_all[s:t] = probes_mask
+                    run = _tail_update(
+                        run, e, tsu, seq, v, seg_start, is_state
                     )
-                    yield pd.DataFrame(data)
 
-                run = _tail_update(run, e, tsu, seq, v, seg_start, is_state)
+                if pm_all.any():
+                    mask = pa.array(pm_all)
+                    served_has = has_all[pm_all]
+                    arrays = [
+                        rb.column(ie).filter(mask),
+                        pa.array(seq_all[pm_all]),
+                        pa.array(tsu_all[pm_all]).cast(pa.timestamp("us")),
+                        *[rb.column(ci).filter(mask) for ci in icarry],
+                        # NaN -> null, matching the pandas-path coercion
+                        pa.array(out_v_all[pm_all], from_pandas=True),
+                        pa.array(
+                            out_t_all[pm_all], mask=~served_has
+                        ).cast(pa.timestamp("us")),
+                    ]
+                    yield pa.RecordBatch.from_arrays(
+                        arrays,
+                        names=[
+                            entity, seq_col, ts_col, *carry_cols,
+                            "asof_value", "asof_ts",
+                        ],
+                    )
 
-        # serve is shuffle-free: a narrow mapInPandas over the pinned
+        # serve is shuffle-free: a narrow mapInArrow over the pinned
         # sorted run (cached blocks or durable parquet scratch)
-        result = part.mapInPandas(serve, schema=out_schema)
+        result = part.mapInArrow(serve, schema=out_schema)
         if checkpoint_dir is None and materialize:
             # materialize the served result from the warm cache, then
             # release the run — no session-lifetime cache entry remains
