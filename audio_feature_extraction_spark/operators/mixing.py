@@ -301,6 +301,80 @@ def dsir_lambda_table(tokseq: DataFrame) -> DataFrame:
     )
 
 
+def _dsir_fit_literals_kernel(tokseq: DataFrame) -> list[int]:
+    """Exact-integer DSIR fit in ONE Arrow kernel pass over the train
+    split (r06): per-task numpy bincounts over the hashed-bigram
+    buckets replace the train-split explode + bucket aggregation.
+    Counts are exact int64 (the bigram hash promotes to BIGINT exactly
+    like the SQL; the split predicate replicates Spark's non-ANSI
+    integer semantics) and the lam closed form uses ``math.log`` ==
+    glibc libm == the SQL ``ln``, so the literals are bit-identical to
+    :func:`dsir_lambda_table`'s (parity-tested)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .textstats import _distinct_counts_np, _train_mask_np
+
+    v, m1, m2, off = DSIR_BUCKETS, DSIR_M1, DSIR_M2, DSIR_OFF
+
+    def run(batches):
+        c1 = np.zeros(v, dtype=np.int64)
+        c0 = np.zeros(v, dtype=np.int64)
+        for pdf in batches:
+            train = _train_mask_np(pdf["doc_id"].tolist())
+            if not train.any():
+                continue
+            toks = [
+                np.asarray(() if t is None else t, dtype=np.int64)
+                for t, m in zip(pdf["tokens"], train)
+                if m
+            ]
+            n_tok = pdf["n_tok"].to_numpy()[train]
+            lens = np.fromiter(
+                (len(t) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            allv = (
+                np.concatenate(toks) if toks else np.empty(0, np.int64)
+            )
+            doc_idx = np.repeat(np.arange(len(toks)), lens)
+            distinct = _distinct_counts_np(doc_idx, allv, len(toks))
+            is_t = (distinct * 2 >= n_tok).astype(np.int64)
+            blens = np.maximum(lens - 1, 0)
+            pairs = [t[:-1] * np.int64(m1) + t[1:] * np.int64(m2)
+                     for t in toks if len(t) > 1]
+            x = (
+                np.concatenate(pairs) + np.int64(off)
+                if pairs
+                else np.empty(0, np.int64)
+            )
+            buckets = x % np.int64(v)  # pmod: floor-mod, positive v
+            feat_t = np.repeat(is_t, blens)
+            c1 += np.bincount(buckets[feat_t == 1], minlength=v)
+            c0 += np.bincount(buckets[feat_t == 0], minlength=v)
+        yield pd.DataFrame({"c1": [c1.tolist()], "c0": [c0.tolist()]})
+
+    parts = tokseq.select("doc_id", "tokens", "n_tok").mapInPandas(
+        run, schema="c1 array<long>, c0 array<long>"
+    ).collect()
+    c1 = [sum(p.c1[i] for p in parts) for i in range(v)]
+    c0 = [sum(p.c0[i] for p in parts) for i in range(v)]
+    n1, n0 = sum(c1), sum(c0)
+    return [
+        math.floor(
+            1000000.0
+            * (
+                math.log(c1[i] + 1)
+                - math.log(n1 + v)
+                - math.log(c0[i] + 1)
+                + math.log(n0 + v)
+            )
+        )
+        for i in range(v)
+    ]
+
+
 def dsir_weights(tokseq: DataFrame) -> DataFrame:
     """Per-doc DSIR importance weights + Gumbel resampling keys.
 
@@ -318,12 +392,8 @@ def dsir_weights(tokseq: DataFrame) -> DataFrame:
     only remaining shuffle in the whole weighting job is the tiny
     fit's bucket aggregation.
     """
-    lam_rows = {
-        r.b: int(r.lam) for r in dsir_lambda_table(tokseq).collect()
-    }
-    arr = "array(%s)" % ", ".join(
-        f"{lam_rows[b]}L" for b in range(DSIR_BUCKETS)
-    )
+    lam_vals = _dsir_fit_literals_kernel(tokseq)
+    arr = "array(%s)" % ", ".join(f"{int(w)}L" for w in lam_vals)
     feats = _dsir_feats(True)
     fold = (
         f"aggregate({feats}, cast(0 as bigint), "

@@ -480,6 +480,152 @@ def _nb_prior_sql(d1: str, d0: str) -> str:
     )
 
 
+def _num_id_np(doc_ids) -> "tuple":
+    """numpy twin of ``CAST(regexp_replace(doc_id,'[^0-9]','') AS
+    BIGINT)``: digits-only id as int64, with Spark's non-ANSI
+    CAST-overflow -> NULL semantics. Returns (num int64 array, ok bool
+    array)."""
+    import numpy as np
+
+    n = len(doc_ids)
+    num = np.zeros(n, dtype=np.int64)
+    ok = np.zeros(n, dtype=bool)
+    for i, s in enumerate(doc_ids):
+        d = "".join(ch for ch in s if "0" <= ch <= "9") if s else ""
+        if d:
+            val = int(d)
+            if val < (1 << 63):
+                num[i] = val
+                ok[i] = True
+    return num, ok
+
+
+def _trunc_rem(x, m: int):
+    """Java/Spark ``%`` (truncated remainder, sign of dividend) on
+    int64 — numpy's ``%`` is floor-mod and differs for negatives."""
+    import numpy as np
+
+    neg = x < 0
+    return np.where(neg, -((-x) % np.int64(m)), x % np.int64(m))
+
+
+def _train_mask_np(doc_ids):
+    """numpy twin of the ``(id * 9973 + 12345) % 100 < 80`` train
+    predicate (int64 wrap-around + truncated %, NULL ids excluded)."""
+    import numpy as np
+
+    num, ok = _num_id_np(doc_ids)
+    with np.errstate(over="ignore"):
+        x = num * np.int64(9973) + np.int64(12345)
+    return ok & (_trunc_rem(x, 100) < 80)
+
+
+def _distinct_counts_np(doc_idx, values, n_docs):
+    """Distinct-value count per doc over concatenated (doc_idx, value)
+    pairs — one lexsort, no per-doc loop."""
+    import numpy as np
+
+    if not len(values):
+        return np.zeros(n_docs, dtype=np.int64)
+    order = np.lexsort((values, doc_idx))
+    sv, sd = values[order], doc_idx[order]
+    newv = np.empty(len(sv), dtype=bool)
+    newv[0] = True
+    newv[1:] = (sv[1:] != sv[:-1]) | (sd[1:] != sd[:-1])
+    return np.bincount(
+        sd, weights=newv.astype(np.float64), minlength=n_docs
+    ).astype(np.int64)
+
+
+def _nb_fit_literals_kernel(tokseq: DataFrame) -> tuple[list[int], int | None]:
+    """Exact-integer NB fit in ONE Arrow kernel pass over the train
+    split (r06): per-task numpy bincounts replace the corpus explode +
+    bucket aggregation. Counts are exact int64 (int32 bucket wrap and
+    the split predicate replicate Spark's non-ANSI integer semantics),
+    and the weight/prior closed forms use ``math.log`` — glibc libm,
+    the same binary the SQL ``ln`` resolves to (the repo's witness
+    equivalence) — so the literals are bit-identical to
+    :func:`nb_train`'s. Returns ``(weights, prior)``; prior is None
+    when the train split is empty (the SQL path's NULL prior)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    v, a, b = NB_BUCKETS, NB_MULT, NB_OFF
+
+    def run(batches):
+        c1 = np.zeros(v, dtype=np.int64)
+        c0 = np.zeros(v, dtype=np.int64)
+        d1 = d0 = 0
+        for pdf in batches:
+            train = _train_mask_np(pdf["doc_id"].tolist())
+            if not train.any():
+                continue
+            toks = [
+                np.asarray(() if t is None else t, dtype=np.int64)
+                for t, m in zip(pdf["tokens"], train)
+                if m
+            ]
+            n_tok = pdf["n_tok"].to_numpy()[train]
+            lens = np.fromiter(
+                (len(t) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            allv = (
+                np.concatenate(toks) if toks else np.empty(0, np.int64)
+            )
+            doc_idx = np.repeat(np.arange(len(toks)), lens)
+            distinct = _distinct_counts_np(doc_idx, allv, len(toks))
+            label = (distinct * 2 >= n_tok).astype(np.int64)
+            d1 += int(label.sum())
+            d0 += int(len(label) - label.sum())
+            # bucket arithmetic wraps in INT (tokens are array<int>):
+            # int32 multiply-add, then pmod — the double-% in the SQL
+            # is exactly floor-mod for the positive modulus
+            with np.errstate(over="ignore"):
+                x = allv.astype(np.int32) * np.int32(a) + np.int32(b)
+            buckets = x.astype(np.int64) % np.int64(v)
+            feat_label = np.repeat(label, lens)
+            c1 += np.bincount(buckets[feat_label == 1], minlength=v)
+            c0 += np.bincount(buckets[feat_label == 0], minlength=v)
+        yield pd.DataFrame(
+            {
+                "c1": [c1.tolist()],
+                "c0": [c0.tolist()],
+                "d1": [d1],
+                "d0": [d0],
+            }
+        )
+
+    parts = tokseq.select("doc_id", "tokens", "n_tok").mapInPandas(
+        run,
+        schema="c1 array<long>, c0 array<long>, d1 long, d0 long",
+    ).collect()
+    c1 = [sum(p.c1[i] for p in parts) for i in range(v)]
+    c0 = [sum(p.c0[i] for p in parts) for i in range(v)]
+    d1 = sum(p.d1 for p in parts)
+    d0 = sum(p.d0 for p in parts)
+    n1, n0 = sum(c1), sum(c0)
+    weights = [
+        math.floor(
+            1000000.0
+            * (
+                math.log(c1[i] + 1)
+                - math.log(n1 + v)
+                - math.log(c0[i] + 1)
+                + math.log(n0 + v)
+            )
+        )
+        for i in range(v)
+    ]
+    if d1 == 0 and d0 == 0:
+        # empty train split: the SQL dtot aggregates over zero rows to
+        # NULL and the prior (hence every score) is NULL
+        return weights, None
+    prior = math.floor(1000000.0 * (math.log(d1 + 1) - math.log(d0 + 1)))
+    return weights, prior
+
+
 def nb_train(tokseq: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Fit the NB model on the deterministic 'train' split.
 
@@ -574,12 +720,14 @@ def nb_quality(tokseq: DataFrame) -> DataFrame:
     fit still shuffles. Use :func:`nb_train` + :func:`nb_score` to
     score with a *stored* model table instead.
     """
-    wtab, pri = nb_train(tokseq)
-    weights, prior = nb_model_literals(wtab, pri)
+    weights, prior = _nb_fit_literals_kernel(tokseq)
     v, a, b = NB_BUCKETS, NB_MULT, NB_OFF
     arr = f"array({', '.join(f'{int(w)}L' for w in weights)})"
+    prior_sql = (
+        "CAST(NULL AS BIGINT)" if prior is None else f"{int(prior)}L"
+    )
     score = (
-        f"{int(prior)}L + aggregate(tokens, cast(0 as bigint), "
+        f"{prior_sql} + aggregate(tokens, cast(0 as bigint), "
         f"(acc, t) -> acc + coalesce(element_at({arr}, "
         f"((t * {a} + {b}) % {v} + {v}) % {v} + 1), cast(0 as bigint)))"
     )
