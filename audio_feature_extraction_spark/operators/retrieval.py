@@ -69,11 +69,14 @@ def postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     One shuffle: groupBy (term, doc_id) with map-side combine; dl is
     constant within the group so it rides in the key for free.
     """
+    # bind the split once (r06): a single-projection form repeats the
+    # split expression in both size() and explode(); materializing the
+    # words array as an attribute first keeps one evaluation per row
+    # (Catalyst does not collapse projects that would duplicate
+    # non-cheap expressions)
     w = docs.selectExpr(
-        "doc_id",
-        f"size({_words(text_col, True)}) as dl",
-        f"explode({_words(text_col, True)}) as term",
-    )
+        "doc_id", f"{_words(text_col, True)} as _ws"
+    ).selectExpr("doc_id", "size(_ws) as dl", "explode(_ws) as term")
     return (
         w.groupBy("term", "doc_id", "dl")
         .agg(F.count("*").alias("tf"))
@@ -188,15 +191,33 @@ def retrieval_topk(
     q = corpus_queries(post, n_queries, terms_per_query)
     # Corpus scalars: one row, broadcast through the cross join.  dl is
     # per-document, so average it over distinct docs (postings repeat
-    # dl per term) — cheapest from the docs table itself.
-    scalars = docs.selectExpr(
-        "doc_id", f"size({_words(text_col, True)}) as dl"
-    ).agg(
-        F.count("*").alias("n_docs"),
-        (
-            F.sum("dl").cast("double") / F.count("*").cast("double")
-        ).alias("avgdl"),
-    )
+    # dl per term).
+    if materialize:
+        # r06: sum(dl) over the materialized postings' distinct docs is
+        # the same integer as summing per-doc word counts (wordless
+        # docs contribute 0 either way), and n_docs is a metadata-only
+        # count — so the scalars never re-split the corpus text.
+        n_docs = docs.count()
+        scalars = (
+            post.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.lit(n_docs).cast("long").alias("n_docs"),
+                (
+                    F.coalesce(F.sum("dl"), F.lit(0)).cast("double")
+                    / F.lit(n_docs).cast("double")
+                ).alias("avgdl"),
+            )
+        )
+    else:
+        scalars = docs.selectExpr(
+            "doc_id", f"size({_words(text_col, True)}) as dl"
+        ).agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum("dl").cast("double") / F.count("*").cast("double")
+            ).alias("avgdl"),
+        )
     # Broadcast prune: only postings whose term is in a query survive,
     # BEFORE the scoring shuffle.
     qpost = post.join(F.broadcast(q), "term")
