@@ -45,6 +45,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # bucketed-table support without polluting the CWD
         .config("spark.sql.warehouse.dir", "/tmp/afes_warehouse")
+        # ContextCleaner frees dropped cache/localCheckpoint blocks only
+        # after a JVM GC notices the dead references; the default
+        # periodic System.gc() interval (30min) is longer than a whole
+        # bench/pipeline process, so scratch blocks from earlier
+        # operators pile up in the unified memory region and evict-churn
+        # later operators. One minute keeps per-call scratch (hash
+        # counts, band tables, postings, sorted runs) bounded on any
+        # long-lived session — same value at cluster scale, where
+        # sessions live far past 30 minutes anyway.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         # ANSI off: we rely on wrap-around-free integer ranges but want
         # slice()/element_at() permissive semantics identical to DuckDB's
         # list ops for the oracle comparisons.
